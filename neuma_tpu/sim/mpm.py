@@ -1,0 +1,279 @@
+"""Differentiable MLS-MPM step in pure JAX (with Pallas-accelerated
+variants in ``neuma_tpu.sim.kernels``).
+
+TPU-native redesign of the reference's Warp kernels
+(``modules/nclaw/sim/mpm.py:321-499`` in the reference repo):
+
+* **p2g** — quadratic B-spline scatter of mass/momentum (3^3 stencil with
+  the stress term folded into the APIC affine matrix, mpm.py:357-371).
+  On TPU there are no fast global atomics, so the scatter is expressed as
+  ``jnp scatter-add`` over flattened cell ids — XLA's deterministic
+  scatter, whose transpose (for AD) is the matching gather. A sorted
+  segment-sum / Pallas block-accumulate variant lives behind the same
+  interface for the hot path.
+* **grid_op** — momentum -> velocity with eps-guarded division, gravity,
+  and box boundary conditions ('freeslip' zeroes the violating normal
+  component, 'noslip' zeroes the full velocity; mpm.py:373-429). Pure
+  elementwise jnp.
+* **g2p** — 27-tap gather of velocity + APIC C, F update
+  ``F <- (I + dt C_new) F``, advection with per-particle clip bounds
+  (mpm.py:432-498).
+
+Differentiation: the whole step is differentiable by construction.
+``mpm_step_diff`` wraps it in a custom VJP that (a) rematerializes the
+step in the backward pass — the analogue of the reference's grid
+rematerialization (mpm.py:299-319) so no grid fields are ever stored —
+and (b) scrubs NaN/Inf cotangents exactly like the reference's
+``nan_to_num`` on all sim gradients (``sim/interface.py:65-74``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import GridState, MPMConstants, ParticleState, Statics
+
+# Static 3x3x3 stencil offsets, shape (27, 3).
+_OFFSETS = np.stack(
+    np.meshgrid(np.arange(3), np.arange(3), np.arange(3), indexing="ij"),
+    axis=-1,
+).reshape(27, 3)
+
+
+def _stencil(constants: MPMConstants, x: jnp.ndarray):
+    """Shared p2g/g2p geometry: base cell, quadratic B-spline weights.
+
+    Returns:
+        base: (N, 3) int32 lower-corner cell of the 3x3x3 stencil
+        weight: (N, 27) product weights
+        dpos: (N, 27, 3) cell-center offsets (world units)
+        flat_idx: (N, 27) int32 flattened grid indices
+    """
+    g = constants.num_grids
+    inv_dx = constants.inv_dx
+    dx = constants.dx
+
+    p_x = x * inv_dx
+    base = jnp.floor(p_x - 0.5).astype(jnp.int32)
+    fx = p_x - base.astype(x.dtype)  # in [0.5, 1.5]
+
+    # Quadratic kernels (mpm.graphics Eqn. 123 with x = fx, fx-1, fx-2).
+    wa = 1.5 - fx
+    wb = fx - 1.0
+    wc = fx - 0.5
+    w = jnp.stack(
+        [0.5 * wa * wa, 0.75 - wb * wb, 0.5 * wc * wc], axis=-1
+    )  # (N, 3 axes, 3 taps)
+
+    offsets = jnp.asarray(_OFFSETS, jnp.int32)  # (27, 3)
+    weight = (
+        w[:, 0, offsets[:, 0]] * w[:, 1, offsets[:, 1]] * w[:, 2, offsets[:, 2]]
+    )  # (N, 27)
+
+    dpos = (
+        offsets.astype(x.dtype)[None, :, :] - fx[:, None, :]
+    ) * dx  # (N, 27, 3)
+
+    cells = base[:, None, :] + offsets[None, :, :]  # (N, 27, 3)
+    # Clamp for memory safety (the reference relies on clip_bound keeping
+    # particles in-range; OOB there is UB — here we clamp indices).
+    cells = jnp.clip(cells, 0, g - 1)
+    flat_idx = (cells[..., 0] * g + cells[..., 1]) * g + cells[..., 2]
+    return base, weight, dpos, flat_idx
+
+
+def p2g(
+    constants: MPMConstants,
+    statics: Statics,
+    state: ParticleState,
+    stress: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Particle-to-grid scatter (reference mpm.py:321-371).
+
+    Returns (grid_m (G^3,), grid_mv (G^3, 3)).
+    """
+    g3 = constants.num_grids ** 3
+    mass = statics.vol * statics.rho  # (N,)
+    enabled = statics.enabled.astype(state.x.dtype)  # (N,)
+
+    _, weight, dpos, flat_idx = _stencil(constants, state.x)
+
+    stress_term = (
+        -constants.dt * statics.vol * 4.0 * constants.inv_dx * constants.inv_dx
+    )[:, None, None] * stress
+    affine = stress_term + mass[:, None, None] * state.C  # (N, 3, 3)
+
+    # mv contribution: weight * (mass * v + affine @ dpos), per tap.
+    mv_tap = mass[:, None, None] * state.v[:, None, :] + jnp.einsum(
+        "nij,noj->noi", affine, dpos
+    )  # (N, 27, 3)
+    weight = weight * enabled[:, None]
+    mv_contrib = weight[..., None] * mv_tap  # (N, 27, 3)
+    m_contrib = weight * mass[:, None]  # (N, 27)
+
+    flat = flat_idx.reshape(-1)
+    grid_mv = jnp.zeros((g3, 3), state.x.dtype).at[flat].add(
+        mv_contrib.reshape(-1, 3)
+    )
+    grid_m = jnp.zeros((g3,), state.x.dtype).at[flat].add(
+        m_contrib.reshape(-1)
+    )
+    return grid_m, grid_mv
+
+
+def grid_op(
+    constants: MPMConstants, grid_m: jnp.ndarray, grid_mv: jnp.ndarray
+) -> jnp.ndarray:
+    """Momentum -> velocity + gravity + box boundary (reference
+    mpm.py:373-429). Returns grid velocity (G^3, 3)."""
+    g = constants.num_grids
+    bound = constants.bound
+    dtype = grid_mv.dtype
+
+    gv = constants.gravity.astype(dtype) * constants.dt
+    has_mass = grid_m > 0.0
+    # Safe denominator: where m == 0 use 1 (value overridden by `where`),
+    # so no NaN leaks through forward or backward even when eps == 0.
+    denom = jnp.where(has_mass, grid_m + constants.eps, 1.0)[:, None]
+    v = jnp.where(has_mass[:, None], grid_mv / denom + gv, gv)
+
+    # Cell coordinates.
+    idx = jnp.arange(g ** 3, dtype=jnp.int32)
+    pz = idx % g
+    py = (idx // g) % g
+    px = idx // (g * g)
+    coords = jnp.stack([px, py, pz], axis=-1)  # (G^3, 3)
+
+    lo = coords < bound  # (G^3, 3) bool per axis
+    hi = coords >= (g - bound)
+    neg = v < 0.0
+    pos = v > 0.0
+    violating = (lo & neg) | (hi & pos)  # per-axis BC violation
+
+    if constants.bc == "freeslip":
+        v = jnp.where(violating, 0.0, v)
+    elif constants.bc == "noslip":
+        any_violation = jnp.any(violating, axis=-1, keepdims=True)
+        v = jnp.where(any_violation, 0.0, v)
+    else:
+        raise ValueError(f"invalid boundary condition: {constants.bc}")
+    return v
+
+
+def g2p(
+    constants: MPMConstants,
+    statics: Statics,
+    state: ParticleState,
+    grid_v: jnp.ndarray,
+) -> ParticleState:
+    """Grid-to-particle gather + F update + advection (reference
+    mpm.py:432-498)."""
+    dx = constants.dx
+    inv_dx = constants.inv_dx
+    dt = constants.dt
+    enabled = (statics.enabled > 0)[:, None]
+
+    _, weight, dpos, flat_idx = _stencil(constants, state.x)
+
+    v_taps = grid_v[flat_idx]  # (N, 27, 3)
+    new_v = jnp.einsum("no,noi->ni", weight, v_taps)
+    new_C = (4.0 * inv_dx * inv_dx) * jnp.einsum(
+        "no,noi,noj->nij", weight, v_taps, dpos
+    )
+
+    eye = jnp.eye(3, dtype=state.x.dtype)
+    new_F = (eye + dt * new_C) @ state.F
+
+    clip = (statics.clip_bound * dx)[:, None]
+    new_x = state.x + dt * new_v
+    new_x = jnp.clip(new_x, clip, 1.0 - clip)
+
+    # Disabled particles keep their previous state (reference returns early
+    # leaving particle_next untouched for them; the training loops never
+    # read disabled lanes, so freezing state is the faithful choice).
+    return ParticleState(
+        x=jnp.where(enabled, new_x, state.x),
+        v=jnp.where(enabled, new_v, state.v),
+        C=jnp.where(enabled[..., None], new_C, state.C),
+        F=jnp.where(enabled[..., None], new_F, state.F),
+    )
+
+
+def mpm_step(
+    constants: MPMConstants,
+    statics: Statics,
+    state: ParticleState,
+    stress: jnp.ndarray,
+) -> ParticleState:
+    """One full MPM step: p2g -> grid_op -> g2p (reference
+    ``MPMModel.forward``, mpm.py:279-297). Pure function; the grid is a
+    transient intermediate that XLA fuses/frees — never part of the state."""
+    grid_m, grid_mv = p2g(constants, statics, state, stress)
+    grid_v = grid_op(constants, grid_m, grid_mv)
+    return g2p(constants, statics, state, grid_v)
+
+
+# --- gradient-parity wrapper ------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def mpm_step_diff(
+    constants: MPMConstants,
+    statics: Statics,
+    state: ParticleState,
+    stress: jnp.ndarray,
+) -> ParticleState:
+    """``mpm_step`` with reference-parity backward semantics:
+
+    * backward rematerializes the step (grid never stored) — the analogue
+      of ``MPMModel.backward``'s local-tape replay (mpm.py:299-319);
+    * all outgoing cotangents are NaN/Inf-scrubbed to zero, matching
+      ``MPMSimFunction.backward`` (interface.py:65-74).
+    """
+    return mpm_step(constants, statics, state, stress)
+
+
+def _mpm_step_fwd(constants, statics, state, stress):
+    out = mpm_step(constants, statics, state, stress)
+    return out, (statics, state, stress)
+
+
+def _mpm_step_bwd(constants, residuals, g):
+    statics, state, stress = residuals
+    _, vjp_fn = jax.vjp(
+        lambda st, sr: mpm_step(constants, statics, st, sr), state, stress
+    )
+    d_state, d_stress = vjp_fn(g)
+    scrub = lambda t: jnp.nan_to_num(t, nan=0.0, posinf=0.0, neginf=0.0)
+    d_state = jax.tree_util.tree_map(scrub, d_state)
+    d_stress = scrub(d_stress)
+
+    def zero_cotangent(x):
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            return np.zeros(x.shape, jax.dtypes.float0)
+        return jnp.zeros_like(x)
+
+    d_statics = jax.tree_util.tree_map(zero_cotangent, statics)
+    return d_statics, d_state, d_stress
+
+
+mpm_step_diff.defvjp(_mpm_step_fwd, _mpm_step_bwd)
+
+
+def advect_extra(
+    constants: MPMConstants,
+    statics: Statics,
+    state: ParticleState,
+    stress: jnp.ndarray,
+    statics_extra: Statics,
+    state_extra: ParticleState,
+) -> ParticleState:
+    """Advect a passive secondary particle set from the grid produced by the
+    primary set (reference ``MPMModel.forward_extra``, mpm.py:260-277)."""
+    grid_m, grid_mv = p2g(constants, statics, state, stress)
+    grid_v = grid_op(constants, grid_m, grid_mv)
+    return g2p(constants, statics_extra, state_extra, grid_v)
