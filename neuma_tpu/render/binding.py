@@ -100,15 +100,21 @@ def compute_binding_table(
     means = gaussians.xyz
     K = means.shape[0]
 
+    top_k = min(max_particles, particles.shape[0])
+
     @jax.jit
     def chunk_fn(m, ic):
         p = mahalanobis_field(m, ic, particles)  # (k, P)
         stat = jnp.where(p <= threshold, p, jnp.inf)
         # nearest max_particles by stat
-        neg_top, idx = jax.lax.top_k(-stat, max_particles)
-        inside = jnp.isfinite(-neg_top)  # (k, M)
+        neg_top, idx = jax.lax.top_k(-stat, top_k)
+        inside = jnp.isfinite(-neg_top)  # (k, top_k)
         count = jnp.maximum(jnp.sum(inside, axis=1, keepdims=True), 1)
         w = jnp.where(inside, 1.0 / count, 0.0)  # uniform softmax
+        pad = max_particles - top_k
+        if pad:
+            idx = jnp.pad(idx, ((0, 0), (0, pad)))
+            w = jnp.pad(w, ((0, 0), (0, pad)))
         return idx.astype(jnp.int32), w.astype(jnp.float32)
 
     indices = []

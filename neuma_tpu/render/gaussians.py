@@ -227,9 +227,13 @@ def create_from_points(
     # mean squared distance to the 3 nearest neighbors, chunked
     pts = jnp.asarray(points)
 
+    k_nn = min(4, n)
+
     def mean_d2(chunk):
         d2 = jnp.sum((chunk[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
-        knn = -jax.lax.top_k(-d2, 4)[0][:, 1:]  # drop self
+        knn = -jax.lax.top_k(-d2, k_nn)[0][:, 1:]  # drop self
+        if knn.shape[1] == 0:
+            return jnp.full((chunk.shape[0],), 1e-4, chunk.dtype)
         return jnp.mean(knn, axis=-1)
 
     chunks = [
