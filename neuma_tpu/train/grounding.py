@@ -1,0 +1,404 @@
+"""Two-stage dynamics grounding: init-velocity optimization + LoRA
+constitutive finetuning.
+
+TPU-native redesign of the reference's ``experiments/finetune.py``:
+instead of a Python-level 400-iteration loop over per-step autograd
+functions and per-view CUDA rasterizer calls, one jitted loss function
+runs the full [elasticity -> MPM -> plasticity -> bind -> rasterize]
+rollout under ``lax.scan`` with per-frame rematerialization, and the two
+stages share it:
+
+* Stage 1 (``optimize_init_velocity``, finetune.py:63-231): RAdam on the
+  global initial velocity with the x/z (or full) sparsity regularizer and
+  its 10%-of-epochs warmup gate.
+* Stage 2 (``finetune_constitutive``, finetune.py:234-488): masked RAdam
+  on LoRA leaves of both adaptors with rollout-decay-weighted loss,
+  per-net cosine schedules, strict grad clipping, non-finite trap.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.types import MPMConstants, ParticleState, Statics
+from ..render.binding import (
+    BindingTable,
+    apply_binding_F,
+    apply_binding_xyz,
+    deform_cov_by_F,
+)
+from ..render.camera import Camera
+from ..render.gaussians import GaussianPack
+from ..render.rasterize import RasterConfig, rasterize
+from ..sim.mpm import mpm_step_diff
+from ..sim.rollout import denormalize_points
+from .losses import l1_loss, l2_loss
+from .optim import clip_by_global_norm_strict, masked_radam, radam
+
+PIXEL_LOSSES = {"l1": l1_loss, "l2": l2_loss}
+
+
+@dataclasses.dataclass
+class GroundingScene:
+    """Everything static for the rollout loss (device arrays + configs)."""
+
+    constants: MPMConstants
+    statics: Statics
+    elasticity: object  # material module (apply/init/init_lora)
+    plasticity: object
+    elasticity_params: object  # pretrained base params (stage 1 uses as-is)
+    plasticity_params: object
+    gaussians: GaussianPack
+    binding: BindingTable
+    cameras: Sequence[Camera]  # one per used view
+    gt_images: jnp.ndarray  # (n_frames, n_views, 3, H, W)
+    init_x: jnp.ndarray  # (N, 3) sim-box positions
+    size: np.ndarray  # denormalization scale (sim <- world)
+    center: np.ndarray
+    background: jnp.ndarray  # (3,)
+    substeps: int = 1
+    pixel_loss: str = "l2"
+    force_mask_data: bool = False
+    scaling_modifier: float = 1.0
+    raster_cfg: RasterConfig = dataclasses.field(default_factory=RasterConfig)
+    exclude_frames: Sequence[int] = ()
+
+    @property
+    def num_frames(self) -> int:
+        return self.gt_images.shape[0]
+
+    @property
+    def num_views(self) -> int:
+        return self.gt_images.shape[1]
+
+
+def make_rollout_loss(scene: GroundingScene) -> Callable:
+    """Builds loss(params_e, params_p, init_v, frame_weights) -> scalar.
+
+    ``init_v`` may be (3,) (global, the reference default —
+    neuma_dataset.py:103-138) or (N, 3) per-particle. ``frame_weights``
+    is the per-frame loss weight vector (rollout decay x exclusion)."""
+    constants = scene.constants
+    statics = scene.statics
+    table = scene.binding
+    pixel_loss = PIXEL_LOSSES[scene.pixel_loss]
+    cov0 = scene.gaussians.get_covariance(scene.scaling_modifier)
+    opacity = scene.gaussians.get_opacity
+    shs = scene.gaussians.get_features
+    sh_degree = scene.gaussians.sh_degree
+    k_xyz0 = scene.gaussians.xyz
+    n_particles = scene.init_x.shape[0]
+
+    excluded = np.zeros(scene.num_frames, np.float32)
+    for f in scene.exclude_frames:
+        if 0 <= f < scene.num_frames:
+            excluded[f] = 1.0
+    excluded = jnp.asarray(excluded)
+
+    def render_views(means3d, cov_def):
+        imgs = []
+        for cam in scene.cameras:
+            if scene.force_mask_data:
+                img = rasterize(
+                    means3d,
+                    cov_def,
+                    opacity,
+                    cam,
+                    scene.background,
+                    colors_precomp=jnp.ones(
+                        (means3d.shape[0], 3), means3d.dtype
+                    ),
+                    cfg=scene.raster_cfg,
+                )
+            else:
+                img = rasterize(
+                    means3d,
+                    cov_def,
+                    opacity,
+                    cam,
+                    scene.background,
+                    shs=shs,
+                    sh_degree=sh_degree,
+                    cfg=scene.raster_cfg,
+                )
+            imgs.append(img)
+        return jnp.stack(imgs)  # (n_views, 3, H, W)
+
+    def loss_fn(params_e, params_p, init_v, frame_weights):
+        v0 = jnp.broadcast_to(
+            jnp.reshape(init_v, (-1, 3)), (n_particles, 3)
+        )
+        state = ParticleState.initial(scene.init_x, v0)
+        de_x0 = denormalize_points(scene.init_x, scene.size, scene.center)
+        carry = (state, de_x0, k_xyz0)
+
+        def frame_body(carry, inputs):
+            gt_frame, weight, is_excluded = inputs
+            state, de_x_prev, g_prev = carry
+
+            def sub(s, _):
+                stress = scene.elasticity.apply(params_e, s.F)
+                s = mpm_step_diff(constants, statics, s, stress)
+                F = scene.plasticity.apply(params_p, s.F)
+                return dataclasses.replace(s, F=F), None
+
+            state, _ = jax.lax.scan(
+                sub, state, None, length=scene.substeps
+            )
+
+            de_x = denormalize_points(state.x, scene.size, scene.center)
+            means3d = apply_binding_xyz(table, de_x, de_x_prev, g_prev)
+            F_k = apply_binding_F(table, state.F)
+            cov_def = deform_cov_by_F(cov0, F_k)  # stop-grad (reference)
+
+            imgs = render_views(means3d, cov_def)
+            frame_loss = pixel_loss(imgs, gt_frame) * gt_frame.shape[0]
+
+            # Excluded frames contribute no loss and keep prev refs
+            # (reference finetune.py:370-372 `continue`).
+            keep = 1.0 - is_excluded
+            new_prev_x = jax.lax.stop_gradient(
+                keep * de_x + is_excluded * de_x_prev
+            )
+            new_prev_g = jax.lax.stop_gradient(
+                keep * means3d + is_excluded * g_prev
+            )
+            return (state, new_prev_x, new_prev_g), weight * keep * frame_loss
+
+        (state, _, _), frame_losses = jax.lax.scan(
+            jax.checkpoint(frame_body),
+            carry,
+            (scene.gt_images, frame_weights, excluded),
+        )
+        return jnp.sum(frame_losses)
+
+    return loss_fn
+
+
+def rollout_decay_weights(
+    num_frames: int,
+    decay_rate,
+    decay_steps: int,
+) -> jnp.ndarray:
+    """weight[f] = decay_rate ** (f // decay_steps) for frame f (0-based;
+    reference finetune.py:388: decay ** ((cur_step - 1) // decay_steps))."""
+    exponents = jnp.asarray(
+        np.arange(num_frames) // max(decay_steps, 1), jnp.float32
+    )
+    return jnp.power(decay_rate, exponents)
+
+
+def decay_rate_for_epoch(cfg, epoch: int, num_epochs: int) -> float:
+    """Reference finetune.py:353-358."""
+    lam = float(cfg.get("lambda_max_decay", 0.0))
+    if lam > 0:
+        ratio = min((1.0 / lam) * epoch / num_epochs, 1.0)
+    else:
+        ratio = 1.0
+    d0 = float(cfg["decay_init"])
+    d1 = float(cfg["decay_final"])
+    return d0 + (d1 - d0) * ratio
+
+
+# --- Stage 1: initial velocity ---------------------------------------------
+
+@dataclasses.dataclass
+class VelocityStageResult:
+    init_v: np.ndarray
+    losses: List[float]
+
+
+def optimize_init_velocity(
+    scene: GroundingScene,
+    num_epochs: int,
+    lr: float,
+    schedule: Callable,
+    lambda_reg: Optional[float] = 0.005,
+    reg_all: bool = False,
+    init_v0: Optional[np.ndarray] = None,
+    log_fn: Optional[Callable] = None,
+) -> VelocityStageResult:
+    """Stage 1 (reference finetune.py:63-231): optimize the global initial
+    velocity by rendering the short rollout against ground truth."""
+    loss_fn = make_rollout_loss(scene)
+    weights = jnp.ones(scene.num_frames, jnp.float32)
+
+    params_e = scene.elasticity_params
+    params_p = scene.plasticity_params
+
+    init_v = jnp.asarray(
+        init_v0 if init_v0 is not None else np.zeros(3), jnp.float32
+    )
+    opt = radam(schedule)
+    opt_state = opt.init(init_v)
+
+    @jax.jit
+    def epoch_step(init_v, opt_state, reg_weight):
+        def total_loss(iv):
+            loss_rgb = loss_fn(params_e, params_p, iv, weights)
+            if reg_all:
+                reg = jnp.mean(jnp.abs(iv))
+            else:
+                ivr = jnp.reshape(iv, (-1, 3))
+                reg = (
+                    jnp.mean(jnp.abs(ivr[:, 0]))
+                    + jnp.mean(jnp.abs(ivr[:, 2]))
+                ) / 2.0
+            return loss_rgb + reg_weight * reg, loss_rgb
+
+        (loss, loss_rgb), g = jax.value_and_grad(
+            total_loss, has_aux=True
+        )(init_v)
+        updates, opt_state = opt.update(g, opt_state, init_v)
+        init_v = optax.apply_updates(init_v, updates)
+        return init_v, opt_state, loss, loss_rgb
+
+    losses = []
+    warmup_gate = int(0.1 * num_epochs)
+    for epoch in range(1, num_epochs + 1):
+        reg_w = (
+            float(lambda_reg)
+            if (lambda_reg is not None and epoch > warmup_gate)
+            else 0.0
+        )
+        init_v, opt_state, loss, loss_rgb = epoch_step(
+            init_v, opt_state, jnp.float32(reg_w)
+        )
+        losses.append(float(loss))
+        if log_fn:
+            log_fn(epoch, float(loss), float(loss_rgb), np.asarray(init_v))
+    return VelocityStageResult(
+        init_v=np.asarray(init_v), losses=losses
+    )
+
+
+# --- Stage 2: LoRA constitutive finetune ------------------------------------
+
+@dataclasses.dataclass
+class ConstitutiveStageResult:
+    params_e: object
+    params_p: object
+    losses: List[float]
+    grad_norms_e: List[float]
+    grad_norms_p: List[float]
+
+
+class NonFiniteGradientError(RuntimeError):
+    """Raised when clip_grad_norm detects a non-finite gradient (the
+    reference prints per-param norms and exits, finetune.py:429-444)."""
+
+
+def finetune_constitutive(
+    scene: GroundingScene,
+    init_v: np.ndarray,
+    cfg: dict,
+    params_e,
+    params_p,
+    checkpoint_fn: Optional[Callable] = None,
+    log_fn: Optional[Callable] = None,
+    start_epoch: int = 1,
+) -> ConstitutiveStageResult:
+    """Stage 2 (reference finetune.py:234-488). ``cfg`` mirrors the
+    reference's ``constitution`` config section. ``params_e/p`` must
+    already carry LoRA leaves (``init_lora``)."""
+    from .schedulers import fetch_schedule
+
+    num_epochs = int(cfg["num_epochs"])
+    warmup = int(cfg.get("warmup_step", 0))
+    decay_steps = int(cfg.get("decay_steps", 80))
+    e_lr = float(cfg["elasticity_lr"])
+    p_lr = float(cfg["plasticity_lr"])
+
+    loss_fn = make_rollout_loss(scene)
+    init_v = jnp.asarray(init_v, jnp.float32)
+
+    e_sched = fetch_schedule(cfg["elasticity_scheduler"], e_lr)
+    p_sched = fetch_schedule(cfg["plasticity_scheduler"], p_lr)
+
+    e_mask = scene.elasticity.lora_mask(params_e)
+    p_mask = scene.plasticity.lora_mask(params_p)
+    e_opt = masked_radam(
+        e_sched, e_mask, float(cfg.get("elasticity_wd", 0.0))
+    )
+    p_opt = masked_radam(
+        p_sched, p_mask, float(cfg.get("plasticity_wd", 0.0))
+    )
+    e_state = e_opt.init(params_e)
+    p_state = p_opt.init(params_p)
+
+    e_max_norm = float(cfg.get("elasticity_grad_max_norm", 1.0))
+    p_max_norm = float(cfg.get("plasticity_grad_max_norm", 1.0))
+
+    @jax.jit
+    def epoch_step(params_e, params_p, e_state, p_state, decay_rate):
+        weights = rollout_decay_weights(
+            scene.num_frames, decay_rate, decay_steps
+        )
+
+        def total(pe, pp):
+            return loss_fn(pe, pp, init_v, weights)
+
+        loss, (ge, gp) = jax.value_and_grad(total, argnums=(0, 1))(
+            params_e, params_p
+        )
+        ge, e_norm, e_bad = clip_by_global_norm_strict(ge, e_max_norm)
+        gp, p_norm, p_bad = clip_by_global_norm_strict(gp, p_max_norm)
+        e_updates, e_state = e_opt.update(ge, e_state, params_e)
+        params_e = optax.apply_updates(params_e, e_updates)
+        p_updates, p_state = p_opt.update(gp, p_state, params_p)
+        params_p = optax.apply_updates(params_p, p_updates)
+        return (
+            params_e,
+            params_p,
+            e_state,
+            p_state,
+            loss,
+            e_norm,
+            p_norm,
+            e_bad | p_bad,
+        )
+
+    losses, e_norms, p_norms = [], [], []
+    for epoch in range(start_epoch, num_epochs + 1):
+        decay_rate = decay_rate_for_epoch(cfg, epoch, num_epochs)
+        (
+            params_e,
+            params_p,
+            e_state,
+            p_state,
+            loss,
+            e_norm,
+            p_norm,
+            bad,
+        ) = epoch_step(
+            params_e, params_p, e_state, p_state, jnp.float32(decay_rate)
+        )
+        if bool(bad):
+            raise NonFiniteGradientError(
+                f"non-finite gradient at epoch {epoch}: "
+                f"loss={float(loss):.7f} e_norm={float(e_norm)} "
+                f"p_norm={float(p_norm)}"
+            )
+        losses.append(float(loss))
+        e_norms.append(float(e_norm))
+        p_norms.append(float(p_norm))
+        if log_fn:
+            log_fn(epoch, float(loss), float(e_norm), float(p_norm),
+                   decay_rate)
+        if checkpoint_fn and (
+            epoch == 1 or epoch % 10 == 0 or epoch == num_epochs
+        ):
+            checkpoint_fn(epoch, params_e, params_p, float(loss))
+    return ConstitutiveStageResult(
+        params_e=params_e,
+        params_p=params_p,
+        losses=losses,
+        grad_norms_e=e_norms,
+        grad_norms_p=p_norms,
+    )

@@ -1,0 +1,243 @@
+"""End-to-end grounding slice (SURVEY.md section 7.2): synthetic blob,
+render GT with a known initial velocity, recover it by gradient descent
+through [materials -> MPM rollout -> binding -> rasterizer]; then run the
+LoRA constitutive stage for a few epochs."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from neuma_tpu.core.types import MPMConstants, Statics
+from neuma_tpu.materials import (
+    CorotatedElasticity,
+    IdentityPlasticity,
+    MetaMaterialConfig,
+    InvariantFullMetaElasticity,
+    InvariantFullMetaPlasticity,
+)
+from neuma_tpu.render.binding import compute_binding_table
+from neuma_tpu.render.camera import Camera
+from neuma_tpu.render.gaussians import create_from_points
+from neuma_tpu.render.rasterize import RasterConfig
+from neuma_tpu.train.grounding import (
+    GroundingScene,
+    finetune_constitutive,
+    make_rollout_loss,
+    optimize_init_velocity,
+)
+from neuma_tpu.train.schedulers import cosine_decay_schedule
+
+
+def build_scene(rng, n=200, g=16, frames=4, substeps=2, material="analytic"):
+    pts = (0.45 + 0.15 * rng.random((n, 3))).astype(np.float32)
+    colors = rng.random((n, 3)).astype(np.float32)
+
+    constants = MPMConstants(
+        num_grids=g,
+        bound=2,
+        bc="freeslip",
+        dt=jnp.float32(5e-4),
+        gravity=jnp.asarray([0.0, -9.8, 0.0], jnp.float32),
+        eps=jnp.float32(6e-7),
+    )
+    statics = Statics(
+        vol=jnp.full((n,), 2e-6, jnp.float32),
+        rho=jnp.full((n,), 1000.0, jnp.float32),
+        clip_bound=jnp.full((n,), 0.1, jnp.float32),
+        enabled=jnp.ones((n,), jnp.int32),
+    )
+
+    if material == "analytic":
+        elasticity = CorotatedElasticity({"E": 1e4, "nu": 0.3})
+        plasticity = IdentityPlasticity()
+        pe = elasticity.init()
+        pp = plasticity.init()
+    else:
+        cfg = MetaMaterialConfig(layer_widths=(16, 16))
+        elasticity = InvariantFullMetaElasticity(cfg)
+        plasticity = InvariantFullMetaPlasticity(cfg)
+        # Scale down the random init so the untrained net is stable.
+        pe = jax.tree_util.tree_map(
+            lambda x: 0.05 * x, elasticity.init(jax.random.PRNGKey(0))
+        )
+        pp = jax.tree_util.tree_map(
+            lambda x: 0.05 * x, plasticity.init(jax.random.PRNGKey(1))
+        )
+
+    gaussians = create_from_points(pts, colors, sh_degree=0)
+    table = compute_binding_table(
+        gaussians, jnp.asarray(pts), max_particles=8
+    )
+    cams = [
+        Camera.look_at(
+            eye=np.array([0.5, 0.55, -1.2]),
+            target=np.array([0.5, 0.5, 0.5]),
+            fov=0.9,
+            width=64,
+            height=64,
+        ),
+        # Side view makes depth (z) motion observable.
+        Camera.look_at(
+            eye=np.array([-1.2, 0.55, 0.5]),
+            target=np.array([0.5, 0.5, 0.5]),
+            fov=0.9,
+            width=64,
+            height=64,
+        ),
+    ]
+    raster_cfg = RasterConfig(max_pairs=16384, max_per_tile=128, segment=16)
+
+    scene = GroundingScene(
+        constants=constants,
+        statics=statics,
+        elasticity=elasticity,
+        plasticity=plasticity,
+        elasticity_params=pe,
+        plasticity_params=pp,
+        gaussians=gaussians,
+        binding=table,
+        cameras=cams,
+        gt_images=jnp.zeros((frames, 2, 3, 64, 64)),  # placeholder
+        init_x=jnp.asarray(pts),
+        size=np.ones(3),
+        center=np.zeros(3),
+        background=jnp.ones(3),
+        substeps=substeps,
+        pixel_loss="l2",
+        raster_cfg=raster_cfg,
+    )
+    return scene
+
+
+def render_gt(scene, init_v):
+    """Generate ground-truth frames by running the forward model."""
+    loss_fn = make_rollout_loss(scene)
+    # Reuse the rollout by capturing rendered frames via a modified scene:
+    # simplest: run the loss with gt=rendered frames is circular, so
+    # instead roll manually using the same building blocks.
+    from neuma_tpu.core.types import ParticleState
+    from neuma_tpu.render.binding import (
+        apply_binding_F,
+        apply_binding_xyz,
+        deform_cov_by_F,
+    )
+    from neuma_tpu.render.rasterize import rasterize
+    from neuma_tpu.sim.mpm import mpm_step
+
+    n = scene.init_x.shape[0]
+    v0 = jnp.broadcast_to(jnp.reshape(init_v, (-1, 3)), (n, 3))
+    state = ParticleState.initial(scene.init_x, v0)
+    cov0 = scene.gaussians.get_covariance()
+    frames = []
+    de_x_prev = scene.init_x
+    g_prev = scene.gaussians.xyz
+    for _ in range(scene.num_frames):
+        for _ in range(scene.substeps):
+            stress = scene.elasticity.apply(
+                scene.elasticity_params, state.F
+            )
+            state = mpm_step(scene.constants, scene.statics, state, stress)
+            F = scene.plasticity.apply(scene.plasticity_params, state.F)
+            state = dataclasses.replace(state, F=F)
+        means3d = apply_binding_xyz(
+            scene.binding, state.x, de_x_prev, g_prev
+        )
+        F_k = apply_binding_F(scene.binding, state.F)
+        cov_def = deform_cov_by_F(cov0, F_k)
+        imgs = [
+            rasterize(
+                means3d,
+                cov_def,
+                scene.gaussians.get_opacity,
+                cam,
+                scene.background,
+                shs=scene.gaussians.get_features,
+                sh_degree=scene.gaussians.sh_degree,
+                cfg=scene.raster_cfg,
+            )
+            for cam in scene.cameras
+        ]
+        frames.append(jnp.stack(imgs))
+        de_x_prev = state.x
+        g_prev = means3d
+    return jnp.stack(frames)  # (frames, n_views, 3, H, W)
+
+
+def test_velocity_recovery(rng):
+    scene = build_scene(rng)
+    true_v = np.array([0.4, 0.1, 0.0], np.float32)
+    gt = render_gt(scene, jnp.asarray(true_v))
+    scene = dataclasses.replace(scene, gt_images=gt)
+
+    schedule = cosine_decay_schedule(0.5, max_steps=30,
+                                     learning_rate_alpha=0.01)
+    result = optimize_init_velocity(
+        scene,
+        num_epochs=30,
+        lr=0.5,
+        schedule=schedule,
+        lambda_reg=None,
+    )
+    assert result.losses[-1] < 0.3 * result.losses[0], (
+        f"loss did not decrease: {result.losses[0]} -> {result.losses[-1]}"
+    )
+    # Velocity should move toward the truth.
+    err0 = np.linalg.norm(true_v)
+    err = np.linalg.norm(result.init_v - true_v)
+    assert err < 0.6 * err0, f"init_v {result.init_v} vs true {true_v}"
+
+
+def test_lora_stage_runs_and_decreases(rng):
+    scene = build_scene(rng, material="meta", frames=3, substeps=2)
+    true_v = np.array([0.2, 0.0, 0.0], np.float32)
+    # GT from a perturbed material: nudge base params so LoRA has
+    # something to learn.
+    perturbed = jax.tree_util.tree_map(
+        lambda x: x * 1.3 + 0.01, scene.elasticity_params
+    )
+    gt_scene = dataclasses.replace(scene, elasticity_params=perturbed)
+    gt = render_gt(gt_scene, jnp.asarray(true_v))
+    scene = dataclasses.replace(scene, gt_images=gt)
+
+    pe = scene.elasticity.init_lora(
+        scene.elasticity_params, jax.random.PRNGKey(3), r=4, alpha=4
+    )
+    pp = scene.plasticity.init_lora(
+        scene.plasticity_params, jax.random.PRNGKey(4), r=4, alpha=4
+    )
+    cfg = {
+        "num_epochs": 8,
+        "elasticity_lr": 0.01,
+        "plasticity_lr": 0.001,
+        "elasticity_wd": 0.0,
+        "plasticity_wd": 0.0,
+        "elasticity_grad_max_norm": 1.0,
+        "plasticity_grad_max_norm": 1.0,
+        "elasticity_scheduler": {"type": "cos", "max_steps": 8,
+                                 "learning_rate_alpha": 0.025},
+        "plasticity_scheduler": {"type": "cos", "max_steps": 8,
+                                 "learning_rate_alpha": 0.025},
+        "decay_init": 0.5,
+        "decay_final": 1.0,
+        "decay_steps": 80,
+        "lambda_max_decay": 0.33,
+    }
+    ckpts = []
+    result = finetune_constitutive(
+        scene,
+        true_v,
+        cfg,
+        pe,
+        pp,
+        checkpoint_fn=lambda e, a, b, l: ckpts.append(e),
+    )
+    assert all(np.isfinite(result.losses))
+    assert result.losses[-1] <= result.losses[0] * 1.05
+    # Base (non-LoRA) weights must be untouched by the masked optimizer.
+    np.testing.assert_array_equal(
+        np.asarray(result.params_e["final"]["kernel"]),
+        np.asarray(pe["final"]["kernel"]),
+    )
+    assert 1 in ckpts
