@@ -1,0 +1,144 @@
+"""Benchmark: full grounding step time (sim + render + backward) per frame.
+
+Runs the jitted stage-2 loss+grad (elasticity MLP -> MPM step ->
+plasticity MLP -> binding -> 800x800 Particle-GS render -> L2 loss ->
+full BPTT) on a BouncyBall-scale synthetic scene (~10k particles, 32^3
+grid, 1 view — reference workload in SURVEY.md section 6) and reports
+milliseconds per rollout frame.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` compares against the reference PyTorch+Warp pipeline on
+A100-80G; the repo publishes no timing numbers (BASELINE.md), so 1.0 is
+recorded until a measured reference number exists.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from neuma_tpu.core.types import MPMConstants, Statics
+    from neuma_tpu.materials import (
+        InvariantFullMetaElasticity,
+        InvariantFullMetaPlasticity,
+        MetaMaterialConfig,
+    )
+    from neuma_tpu.render.binding import compute_binding_table
+    from neuma_tpu.render.camera import Camera
+    from neuma_tpu.render.gaussians import create_from_points
+    from neuma_tpu.render.rasterize import RasterConfig
+    from neuma_tpu.train.grounding import GroundingScene, make_rollout_loss
+
+    rng = np.random.default_rng(0)
+    n_particles = 10000
+    grid = 32
+    frames = 4
+    substeps = 1
+    img = 800
+
+    pts = (0.4 + 0.2 * rng.random((n_particles, 3))).astype(np.float32)
+    colors = rng.random((n_particles, 3)).astype(np.float32)
+
+    constants = MPMConstants(
+        num_grids=grid,
+        bound=1,
+        bc="noslip",
+        dt=jnp.float32(1e-3),
+        gravity=jnp.asarray([0.0, -9.8, 0.0], jnp.float32),
+        eps=jnp.float32(6e-7),
+    )
+    statics = Statics(
+        vol=jnp.full((n_particles,), 2e-8, jnp.float32),
+        rho=jnp.full((n_particles,), 1000.0, jnp.float32),
+        clip_bound=jnp.full((n_particles,), 0.1, jnp.float32),
+        enabled=jnp.ones((n_particles,), jnp.int32),
+    )
+    mat_cfg = MetaMaterialConfig(layer_widths=(64, 64))
+    elasticity = InvariantFullMetaElasticity(mat_cfg)
+    plasticity = InvariantFullMetaPlasticity(mat_cfg)
+    pe = jax.tree_util.tree_map(
+        lambda x: 0.05 * x, elasticity.init(jax.random.PRNGKey(0))
+    )
+    pp = jax.tree_util.tree_map(
+        lambda x: 0.05 * x, plasticity.init(jax.random.PRNGKey(1))
+    )
+    pe = elasticity.init_lora(pe, jax.random.PRNGKey(2), r=16, alpha=16)
+    pp = plasticity.init_lora(pp, jax.random.PRNGKey(3), r=16, alpha=16)
+
+    gaussians = create_from_points(pts, colors, sh_degree=3)
+    table = compute_binding_table(
+        gaussians, jnp.asarray(pts), max_particles=10
+    )
+    cam = Camera.look_at(
+        eye=np.array([0.5, 0.55, -1.6]),
+        target=np.array([0.5, 0.5, 0.5]),
+        fov=0.8,
+        width=img,
+        height=img,
+    )
+    raster_cfg = RasterConfig(
+        max_pairs=1 << 20, max_per_tile=512, segment=32
+    )
+
+    scene = GroundingScene(
+        constants=constants,
+        statics=statics,
+        elasticity=elasticity,
+        plasticity=plasticity,
+        elasticity_params=pe,
+        plasticity_params=pp,
+        gaussians=gaussians,
+        binding=table,
+        cameras=[cam],
+        gt_images=jnp.zeros((frames, 1, 3, img, img), jnp.float32),
+        init_x=jnp.asarray(pts),
+        size=np.ones(3),
+        center=np.zeros(3),
+        background=jnp.ones(3),
+        substeps=substeps,
+        pixel_loss="l2",
+        raster_cfg=raster_cfg,
+    )
+    loss_fn = make_rollout_loss(scene)
+    weights = jnp.ones(frames, jnp.float32)
+    init_v = jnp.asarray([0.3, 0.0, 0.0], jnp.float32)
+
+    grad_fn = jax.jit(
+        jax.value_and_grad(
+            lambda a, b: loss_fn(a, b, init_v, weights), argnums=(0, 1)
+        )
+    )
+
+    # Warmup / compile.
+    out = grad_fn(pe, pp)
+    jax.block_until_ready(out)
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = grad_fn(pe, pp)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+
+    ms_per_frame = elapsed / (reps * frames) * 1000.0
+    print(
+        json.dumps(
+            {
+                "metric": "grounding_step_time_per_frame",
+                "value": round(ms_per_frame, 3),
+                "unit": "ms",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
