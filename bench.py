@@ -84,7 +84,7 @@ def main():
         height=img,
     )
     raster_cfg = RasterConfig(
-        max_pairs=1 << 20, max_per_tile=512, segment=32
+        max_pairs=1 << 17, max_per_tile=512, segment=32
     )
 
     scene = GroundingScene(
@@ -117,14 +117,19 @@ def main():
     )
 
     # Warmup / compile.
+    import sys
+    t_c0 = time.perf_counter()
     out = grad_fn(pe, pp)
-    jax.block_until_ready(out)
+    loss_val = float(out[0])
+    print(f"[bench] compile+first step: {time.perf_counter()-t_c0:.1f}s "
+          f"loss={loss_val:.4f}", file=sys.stderr)
 
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
         out = grad_fn(pe, pp)
-    jax.block_until_ready(out)
+        _ = float(out[0])  # force sync (block_until_ready is a no-op on
+                           # the tunneled axon backend)
     elapsed = time.perf_counter() - t0
 
     ms_per_frame = elapsed / (reps * frames) * 1000.0

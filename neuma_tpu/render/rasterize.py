@@ -206,27 +206,21 @@ def _build_tile_lists(
     sorted_tile = tile_id[pair_order]
     sorted_gid = gid_c[pair_order]
 
-    # Per-tile slot index = position - first position of that tile.
+    # Per-tile ranges; the sorted pair array IS the concatenation of
+    # per-tile depth-ordered lists, so the padded matrix is a pure GATHER
+    # tile_mat[t, s] = sorted_gid[tile_start[t] + s] (gathers are fast on
+    # TPU where scatters are not).
     tile_start = jnp.searchsorted(
         sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     )
-    slot = jnp.arange(cfg.max_pairs, dtype=jnp.int32) - tile_start[
-        jnp.clip(sorted_tile, 0, num_tiles)
-    ]
-
-    # Scatter into the padded (num_tiles, max_per_tile) matrix.
-    ok = (sorted_tile < num_tiles) & (slot < cfg.max_per_tile)
-    flat_pos = jnp.where(
-        ok,
-        sorted_tile * cfg.max_per_tile + slot,
-        num_tiles * cfg.max_per_tile,
-    )
-    tile_mat = jnp.full(
-        (num_tiles * cfg.max_per_tile + 1,), -1, jnp.int32
-    ).at[flat_pos].set(sorted_gid)[:-1]
+    counts = tile_start[1:] - tile_start[:-1]  # (num_tiles,)
+    slots = jnp.arange(cfg.max_per_tile, dtype=jnp.int32)
+    pos = tile_start[:-1, None] + slots[None, :]
+    in_range = slots[None, :] < counts[:, None]
+    gid_mat = sorted_gid[jnp.clip(pos, 0, cfg.max_pairs - 1)]
     # Map back from sorted-gaussian rank to original index.
-    tile_mat = jnp.where(tile_mat >= 0, order[jnp.clip(tile_mat, 0)], -1)
-    return tile_mat.reshape(num_tiles, cfg.max_per_tile), tiles_x, tiles_y
+    tile_mat = jnp.where(in_range, order[gid_mat], -1)
+    return tile_mat, tiles_x, tiles_y
 
 
 def _composite(
@@ -259,59 +253,67 @@ def _composite(
 
     S = tile_mat.shape[1]
     n_seg = (S + cfg.segment - 1) // cfg.segment
-    seg_ids = tile_mat[:, : n_seg * cfg.segment].reshape(
-        num_tiles, n_seg, cfg.segment
+    seg = cfg.segment
+    seg_ids = tile_mat[:, : n_seg * seg].reshape(
+        num_tiles, n_seg, seg
     ).transpose(1, 0, 2)  # (n_seg, num_tiles, seg)
 
+    # Compositing via prefix products instead of a per-slot sequential
+    # scan: with the CUDA freeze semantics ("done" once transmittance
+    # would cross 1e-4, crossing contribution excluded), a gaussian
+    # contributes iff its INCLUSIVE prefix transmittance stays >= 1e-4 —
+    # P is monotone nonincreasing, so the whole chunk composites with one
+    # vectorized cumprod over the slot axis:
+    #   P_i = P_carry * prod_{j<=i} (1 - alpha_eff_j)
+    #   contribute_i = valid_i & (P_i >= 1e-4)
+    #   C += sum_i contribute_i * alpha_i * color_i * P_{i-1}
+    #   T_final = min over contributing P_i (tracked as running min)
     def segment_body(carry, ids_seg):
-        def slot_body(carry, ids):
-            T, C, done = carry  # T: (tiles, 256); C: (tiles, 256, 3)
-            gid = jnp.clip(ids, 0)  # (tiles,)
-            live = ids >= 0
-            m2d = mean2d[gid]  # (tiles, 2)
-            con = conic[gid]  # (tiles, 3)
-            op = opacity[gid]  # (tiles,)
-            col = colors[gid]  # (tiles, 3)
+        P, C, Tmin = carry  # P: (tiles, 256) running product
+        ids = ids_seg  # (tiles, seg)
+        gid = jnp.clip(ids, 0)
+        live = (ids >= 0)[:, :, None]  # (tiles, seg, 1)
+        m2d = mean2d[gid]  # (tiles, seg, 2)
+        con = conic[gid]  # (tiles, seg, 3)
+        op = opacity[gid]  # (tiles, seg)
+        col = colors[gid]  # (tiles, seg, 3)
 
-            d = m2d[:, None, :] - pix  # (tiles, 256, 2) = xy - pixf
-            power = (
-                -0.5
-                * (
-                    con[:, None, 0] * d[..., 0] ** 2
-                    + con[:, None, 2] * d[..., 1] ** 2
-                )
-                - con[:, None, 1] * d[..., 0] * d[..., 1]
+        d = m2d[:, :, None, :] - pix[:, None, :, :]  # (tiles, seg, 256, 2)
+        power = (
+            -0.5
+            * (
+                con[:, :, None, 0] * d[..., 0] ** 2
+                + con[:, :, None, 2] * d[..., 1] ** 2
             )
-            alpha = jnp.minimum(0.99, op[:, None] * jnp.exp(power))
-            ok = (
-                live[:, None]
-                & (power <= 0.0)
-                & (alpha >= (1.0 / 255.0))
-            )
-            test_T = T * (1.0 - alpha)
-            crossing = test_T < 1e-4
-            newly_done = ok & crossing & (~done)
-            contribute = ok & (~crossing) & (~done)
-
-            alpha_eff = jnp.where(contribute, alpha, 0.0)
-            C = C + (alpha_eff * T)[..., None] * col[:, None, :]
-            T = T * (1.0 - alpha_eff)
-            done = done | newly_done
-            return (T, C, done), None
-
-        carry, _ = jax.lax.scan(
-            slot_body, carry, jnp.swapaxes(ids_seg, 0, 1)
+            - con[:, :, None, 1] * d[..., 0] * d[..., 1]
         )
-        return carry, None
+        alpha = jnp.minimum(0.99, op[:, :, None] * jnp.exp(power))
+        valid = live & (power <= 0.0) & (alpha >= (1.0 / 255.0))
+        alpha_eff = jnp.where(valid, alpha, 0.0)  # (tiles, seg, 256)
 
-    T0 = jnp.ones((num_tiles, TILE * TILE), jnp.float32)
+        q = 1.0 - alpha_eff
+        cum = jnp.cumprod(q, axis=1)  # inclusive prefix over slots
+        P_incl = P[:, None, :] * cum  # (tiles, seg, 256)
+        P_excl = jnp.concatenate(
+            [P[:, None, :], P_incl[:, :-1, :]], axis=1
+        )
+        contribute = valid & (P_incl >= 1e-4)
+        w = jnp.where(contribute, alpha_eff * P_excl, 0.0)
+        C = C + jnp.einsum("tsp,tsc->tpc", w, col)
+        Tmin = jnp.minimum(
+            Tmin, jnp.min(jnp.where(contribute, P_incl, 1.0), axis=1)
+        )
+        P = P_incl[:, -1, :]
+        return (P, C, Tmin), None
+
+    P0 = jnp.ones((num_tiles, TILE * TILE), jnp.float32)
     C0 = jnp.zeros((num_tiles, TILE * TILE, 3), jnp.float32)
-    done0 = jnp.zeros((num_tiles, TILE * TILE), bool)
+    Tmin0 = jnp.ones((num_tiles, TILE * TILE), jnp.float32)
 
-    (T, C, _), _ = jax.lax.scan(
-        jax.checkpoint(segment_body), (T0, C0, done0), seg_ids
+    (P, C, Tmin), _ = jax.lax.scan(
+        jax.checkpoint(segment_body), (P0, C0, Tmin0), seg_ids
     )
-    return T, C, pix_x, pix_y
+    return Tmin, C, pix_x, pix_y
 
 
 def rasterize(
