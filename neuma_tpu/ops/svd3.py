@@ -37,13 +37,17 @@ def _one_sided_jacobi(A: jnp.ndarray, sweeps: int):
 
     B starts as A; each rotation makes one pair of columns orthogonal.
     V accumulates the right rotations. Batched over leading dims.
+    Columns are carried as explicit (..., 3) arrays — pure elementwise
+    VPU math, no in-place column scatters.
     """
-    B = A
-    V = jnp.broadcast_to(jnp.eye(3, dtype=A.dtype), A.shape)
+    b = [A[..., :, 0], A[..., :, 1], A[..., :, 2]]
+    eye = jnp.eye(3, dtype=A.dtype)
+    v = [
+        jnp.broadcast_to(eye[:, i], A.shape[:-1]) for i in range(3)
+    ]
 
-    def rotate(B, V, p, q):
-        bp = B[..., :, p]
-        bq = B[..., :, q]
+    def rotate(p, q):
+        bp, bq = b[p], b[q]
         alpha = jnp.sum(bp * bp, axis=-1)
         beta = jnp.sum(bq * bq, axis=-1)
         gamma = jnp.sum(bp * bq, axis=-1)
@@ -56,23 +60,17 @@ def _one_sided_jacobi(A: jnp.ndarray, sweeps: int):
         zeta = (beta - alpha) / (2.0 * safe_gamma)
         t = jnp.sign(zeta) / (jnp.abs(zeta) + jnp.sqrt(1.0 + zeta * zeta))
         t = jnp.where(denom_ok, t, 0.0)
-        c = 1.0 / jnp.sqrt(1.0 + t * t)
-        s = c * t
-        c = c[..., None]
-        s = s[..., None]
-        new_bp = c * bp - s * bq
-        new_bq = s * bp + c * bq
-        B = B.at[..., :, p].set(new_bp).at[..., :, q].set(new_bq)
-        vp = V[..., :, p]
-        vq = V[..., :, q]
-        new_vp = c * vp - s * vq
-        new_vq = s * vp + c * vq
-        V = V.at[..., :, p].set(new_vp).at[..., :, q].set(new_vq)
-        return B, V
+        c = (1.0 / jnp.sqrt(1.0 + t * t))[..., None]
+        s = c * t[..., None]
+        b[p], b[q] = c * bp - s * bq, s * bp + c * bq
+        vp, vq = v[p], v[q]
+        v[p], v[q] = c * vp - s * vq, s * vp + c * vq
 
     for _ in range(sweeps):
         for (p, q) in ((0, 1), (0, 2), (1, 2)):
-            B, V = rotate(B, V, p, q)
+            rotate(p, q)
+    B = jnp.stack(b, axis=-1)
+    V = jnp.stack(v, axis=-1)
     return B, V
 
 

@@ -45,9 +45,19 @@ class RasterConfig:
     """Static rasterization bounds (set per scene/workload)."""
 
     max_pairs: int = 262144  # total (gaussian, tile) pairs after culling
-    max_per_tile: int = 1024  # compositing depth per tile
-    segment: int = 32  # scan slots per remat segment
+    max_per_tile: int = 1024  # compositing depth per tile (jnp backend)
+    segment: int = 32  # scan slots per remat segment (jnp backend)
     scale_modifier: float = 1.0
+    # 'auto': Pallas kernels on TPU, jnp composite elsewhere.
+    # 'jnp' | 'pallas' | 'pallas_interpret' force a backend.
+    backend: str = "auto"
+
+    def resolve_backend(self) -> str:
+        if self.backend != "auto":
+            return self.backend
+        import jax
+
+        return "pallas" if jax.default_backend() == "tpu" else "jnp"
 
 
 def _project(
@@ -223,6 +233,78 @@ def _build_tile_lists(
     return tile_mat, tiles_x, tiles_y
 
 
+def _build_aligned_pairs(
+    depth, visible, mean2d, radius, width, height, cfg: RasterConfig
+):
+    """Pair layout for the Pallas backend: per-tile contiguous ranges in
+    depth order, each tile's range padded to a multiple of the kernel
+    CHUNK so backward DMA writes never cross tile boundaries.
+
+    Returns (pair_gid (P,), pair_valid (P,), tile_start (num_tiles+1,),
+    tiles_x, tiles_y) with static P = max_pairs + CHUNK * num_tiles.
+    """
+    from .pallas_raster import CHUNK
+
+    n = depth.shape[0]
+    x0, y0, x1, y1, tiles_x, tiles_y = _tile_ranges(
+        mean2d, radius, width, height
+    )
+    num_tiles = tiles_x * tiles_y
+
+    order = jnp.argsort(jnp.where(visible, depth, jnp.inf))
+    x0s, x1s = x0[order], x1[order]
+    y0s, y1s = y0[order], y1[order]
+    vis_s = visible[order] & (radius[order] > 0)
+
+    w_t = jnp.where(vis_s, x1s - x0s, 0)
+    h_t = jnp.where(vis_s, y1s - y0s, 0)
+    area = w_t * h_t
+    offsets = jnp.cumsum(area)
+    starts = offsets - area
+
+    pair_idx = jnp.arange(cfg.max_pairs, dtype=jnp.int32)
+    gid = jnp.searchsorted(offsets, pair_idx, side="right").astype(
+        jnp.int32
+    )
+    gid_c = jnp.clip(gid, 0, n - 1)
+    valid_pair = pair_idx < offsets[-1]
+    k = pair_idx - starts[gid_c]
+    tw = jnp.maximum(w_t[gid_c], 1)
+    tile_x = x0s[gid_c] + (k % tw)
+    tile_y = y0s[gid_c] + (k // tw)
+    tile_id = jnp.where(valid_pair, tile_y * tiles_x + tile_x, num_tiles)
+
+    pair_order = jnp.argsort(tile_id, stable=True)
+    sorted_tile = tile_id[pair_order]
+    sorted_gid = gid_c[pair_order]
+
+    raw_start = jnp.searchsorted(
+        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32),
+        side="left",
+    )
+    counts = raw_start[1:] - raw_start[:-1]
+
+    # CHUNK-align each tile range.
+    aligned = ((counts + CHUNK - 1) // CHUNK) * CHUNK
+    tile_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned).astype(jnp.int32)]
+    )
+
+    P = cfg.max_pairs + CHUNK * num_tiles
+    pos = jnp.arange(P, dtype=jnp.int32)
+    tile_of = jnp.clip(
+        jnp.searchsorted(tile_start, pos, side="right").astype(jnp.int32)
+        - 1,
+        0,
+        num_tiles - 1,
+    )
+    slot = pos - tile_start[tile_of]
+    in_tile = (slot < counts[tile_of]) & (pos < tile_start[-1])
+    src = jnp.clip(raw_start[tile_of] + slot, 0, cfg.max_pairs - 1)
+    pair_gid = jnp.where(in_tile, order[sorted_gid[src]], 0)
+    return pair_gid, in_tile, tile_start, tiles_x, tiles_y
+
+
 def _composite(
     tile_mat: jnp.ndarray,  # (num_tiles, S) gaussian ids, -1 padded
     mean2d: jnp.ndarray,
@@ -350,21 +432,56 @@ def rasterize(
         assert shs is not None, "need shs or colors_precomp"
         colors = _sh_colors(shs, means3d, camera.camera_center, sh_degree)
 
-    tile_mat, tiles_x, tiles_y = _build_tile_lists(
-        depth, visible, mean2d, radius, camera.width, camera.height, cfg
-    )
-    T, C, pix_x, pix_y = _composite(
-        tile_mat,
-        mean2d,
-        conic,
-        opacity,
-        colors,
-        tiles_x,
-        tiles_y,
-        camera.width,
-        camera.height,
-        cfg,
-    )
+    backend = cfg.resolve_backend()
+    if backend == "jnp":
+        tile_mat, tiles_x, tiles_y = _build_tile_lists(
+            depth, visible, mean2d, radius, camera.width, camera.height,
+            cfg,
+        )
+        T, C, pix_x, pix_y = _composite(
+            tile_mat,
+            mean2d,
+            conic,
+            opacity,
+            colors,
+            tiles_x,
+            tiles_y,
+            camera.width,
+            camera.height,
+            cfg,
+        )
+    else:
+        from .pallas_raster import PIX, composite_pairs_tpu
+
+        (
+            pair_gid, pair_valid, tile_start, tiles_x, tiles_y,
+        ) = _build_aligned_pairs(
+            depth, visible, mean2d, radius, camera.width, camera.height,
+            cfg,
+        )
+        # Differentiable gathers: their transpose scatter-adds the pair
+        # gradients from the Pallas backward into per-gaussian grads.
+        pair_mean2d = mean2d[pair_gid]
+        pair_conic = conic[pair_gid]
+        pair_opacity = jnp.where(pair_valid, opacity[pair_gid], 0.0)
+        pair_colors = colors[pair_gid]
+        T, Cflat = composite_pairs_tpu(
+            pair_mean2d,
+            pair_conic,
+            pair_opacity,
+            pair_colors,
+            tile_start,
+            tiles_x,
+            backend == "pallas_interpret",
+        )
+        C = jnp.stack(
+            [
+                Cflat[:, 0:PIX],
+                Cflat[:, PIX : 2 * PIX],
+                Cflat[:, 2 * PIX : 3 * PIX],
+            ],
+            axis=-1,
+        )
 
     # Assemble tiles -> (3, H, W), crop padding, composite background.
     img = C + T[..., None] * bg_color[None, None, :]
