@@ -1,0 +1,100 @@
+"""Viewer: instance rollout caching + HTTP endpoints."""
+import json
+import urllib.request
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from neuma_tpu.core.types import MPMConstants
+from neuma_tpu.materials import CorotatedElasticity, IdentityPlasticity
+from neuma_tpu.render.binding import compute_binding_table
+from neuma_tpu.render.camera import Camera
+from neuma_tpu.render.gaussians import create_from_points
+from neuma_tpu.render.rasterize import RasterConfig
+from neuma_tpu.sim.initializers import MPMInitData
+from neuma_tpu.vis.instance import NeuMAInstance, SceneObject
+from neuma_tpu.vis.viewer import DynamicViewer
+
+
+def make_instance(rng, frames=3):
+    n = 100
+    pts = (0.45 + 0.1 * rng.random((n, 3))).astype(np.float32)
+    pack = create_from_points(
+        pts, rng.random((n, 3)).astype(np.float32), sh_degree=0
+    )
+    table = compute_binding_table(pack, jnp.asarray(pts), max_particles=6)
+    elasticity = CorotatedElasticity({"E": 1e4, "nu": 0.3})
+    plasticity = IdentityPlasticity()
+    init_data = MPMInitData.from_points(
+        pts, total_volume=0.001, rho=1000.0, clip_bound=0.1,
+        span=(0, 10**9),
+    )
+    constants = MPMConstants(
+        num_grids=16, bound=2, bc="freeslip",
+        dt=jnp.float32(5e-4),
+        gravity=jnp.asarray([0, -9.8, 0], jnp.float32),
+        eps=jnp.float32(6e-7),
+    )
+    obj = SceneObject(
+        name="blob",
+        gaussians=pack,
+        binding=table,
+        elasticity=elasticity,
+        plasticity=plasticity,
+        params_e=elasticity.init(),
+        params_p=plasticity.init(),
+        init_data=init_data,
+    )
+    return NeuMAInstance(
+        constants,
+        [obj],
+        num_frames=frames,
+        raster_cfg=RasterConfig(
+            max_pairs=4096, max_per_tile=32, segment=8
+        ),
+    )
+
+
+def test_instance_simulate_and_render(rng):
+    inst = make_instance(rng)
+    inst.simulate()
+    assert len(inst.frames) == 3
+    cam = Camera.look_at(
+        eye=np.array([0.5, 0.6, -1.0]),
+        target=np.array([0.5, 0.5, 0.5]),
+        width=64, height=64,
+    )
+    img = inst.render_frame(0, cam)
+    assert img.shape == (64, 64, 3)
+    assert img.dtype == np.uint8
+
+
+def test_viewer_http_endpoints(rng):
+    inst = make_instance(rng, frames=2)
+    viewer = DynamicViewer(inst, width=64, height=64)
+    server = viewer.serve(port=0, blocking=False)
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        page = urllib.request.urlopen(base + "/").read().decode()
+        assert "NeuMA-TPU Viewer" in page
+        info = json.loads(
+            urllib.request.urlopen(base + "/info").read()
+        )
+        assert info["num_frames"] == 2
+        assert info["objects"][0]["name"] == "blob"
+        img = urllib.request.urlopen(
+            base + "/render?frame=1&ex=0.5&ey=0.6&ez=-1.0"
+            "&tx=0.5&ty=0.5&tz=0.5"
+        ).read()
+        assert img[:2] == b"\xff\xd8"  # JPEG magic
+        # resimulate with object disabled -> zero frames? (no objects)
+        req = urllib.request.Request(
+            base + "/resimulate",
+            data=json.dumps({"objects": {"blob": True}}).encode(),
+            method="POST",
+        )
+        urllib.request.urlopen(req)
+    finally:
+        server.shutdown()
