@@ -124,6 +124,49 @@ class Camera:
         )
 
     @classmethod
+    def interpolate(
+        cls, cam1: "Camera", cam2: "Camera", steps: int
+    ) -> list:
+        """Slerp a camera path between two cameras (reference
+        ``interpolate_cameras``, camera_utils.py:261-290)."""
+        from ..ops.rotation import rotmat_to_quat, quat_to_rotmat
+
+        import jax.numpy as jnp
+
+        # Recover COLMAP R (stored transposed) and T from the matrices.
+        def decompose(cam):
+            w2v = np.asarray(cam.world_view).T  # column-vector W2V
+            return w2v[:3, :3].T, w2v[:3, 3]
+
+        R1, T1 = decompose(cam1)
+        R2, T2 = decompose(cam2)
+        q1 = np.asarray(rotmat_to_quat(jnp.asarray(R1.T)))
+        q2 = np.asarray(rotmat_to_quat(jnp.asarray(R2.T)))
+        if np.dot(q1, q2) < 0:
+            q2 = -q2
+        cams = []
+        for t in np.linspace(0.0, 1.0, steps):
+            dot = np.clip(np.dot(q1, q2), -1.0, 1.0)
+            angle = math.acos(dot)
+            if abs(angle) < 1e-6:
+                q = q1
+            else:
+                isin = 1.0 / math.sin(angle)
+                q = (
+                    math.sin((1 - t) * angle) * isin * q1
+                    + math.sin(t * angle) * isin * q2
+                )
+            R = np.asarray(quat_to_rotmat(jnp.asarray(q))).T
+            T = (1 - t) * T1 + t * T2
+            cams.append(
+                cls.from_Rt(
+                    R.T, T, cam1.fov_x, cam1.fov_y, cam1.width,
+                    cam1.height, cam1.znear, cam1.zfar,
+                )
+            )
+        return cams
+
+    @classmethod
     def look_at(
         cls,
         eye: np.ndarray,

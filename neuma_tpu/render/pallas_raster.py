@@ -101,7 +101,9 @@ def _fwd_kernel(
                 )
                 test_T = P_run * (1.0 - alpha)
                 crossing = valid & (test_T < 1e-4)
-                contribute = valid & (~crossing) & (~done)
+                # done carried as a f32 mask (bool vector carries fail
+                # Mosaic's scf.for legalization)
+                contribute = valid & (~crossing) & (done < 0.5)
                 a_eff = jnp.where(contribute, alpha, 0.0)
                 w = a_eff * P_run
                 c0 = c0 + w * scratch[i, 6]
@@ -109,7 +111,9 @@ def _fwd_kernel(
                 c2 = c2 + w * scratch[i, 8]
                 P_run = P_run * (1.0 - a_eff)
                 last = jnp.where(contribute, base + i, last)
-                done = done | crossing
+                done = jnp.maximum(
+                    done, jnp.where(crossing, 1.0, 0.0)
+                )
                 return P_run, c0, c1, c2, done, last
 
             return jax.lax.fori_loop(0, CHUNK, pair_body, carry)
@@ -126,7 +130,7 @@ def _fwd_kernel(
                 zeros,
                 zeros,
                 zeros,
-                jnp.zeros((1, PIX), jnp.bool_),
+                jnp.zeros((1, PIX), jnp.float32),
                 jnp.full((1, PIX), -1, jnp.int32),
             ),
         )
