@@ -6,22 +6,21 @@ tile's actual pair range (scalar-prefetched offsets into the depth/tile-
 sorted pair arrays), so work is proportional to the real pair count —
 the TPU equivalent of diff-gaussian-rasterization's per-tile loop.
 
-Forward semantics match the CUDA renderCUDA loop exactly (power > 0
-skip, alpha < 1/255 skip, alpha cap 0.99, terminate the pixel BEFORE a
-contribution would push transmittance below 1e-4) and record the
-per-pixel last-contributor index for the backward sweep.
+Kernel structure (Mosaic-friendly, no dynamic scalar indexing):
 
-Backward replicates the CUDA backward: reverse sweep reconstructing
-transmittance by division, suffix accumulators for d alpha, and the CUDA
-quirk that the 0.99 alpha cap is ignored in the gradient chain
-(dL/dG = opacity * dL/dalpha unconditionally).
-
-Layout notes for Mosaic: TPU block shapes need the sublane dim divisible
-by 8, so each grid step processes a GROUP of 8 tiles (padding tiles carry
-empty pair ranges via a repeated final offset and produce T=1/C=0).
-Pair-level gradients are emitted per pair (collision-free, CHUNK-aligned
-tile ranges so backward DMA writes never cross tiles) and reach
-per-gaussian gradients through the caller's gather transpose.
+* pairs are DMA'd in CHUNK-row blocks; all per-pair features are used as
+  (CHUNK, 1) columns broadcast against the (1, PIX) pixel grid — every
+  op is a dense VPU op on (CHUNK, PIX) tiles;
+* the sequential front-to-back dependency is resolved with prefix
+  products over the chunk axis (static-shift Hillis-Steele scans), valid
+  because transmittance is monotone: with the CUDA freeze semantics a
+  pair contributes iff its inclusive prefix transmittance stays >= 1e-4
+  (verified equivalent to the sequential loop in tests);
+* backward reconstructs per-pair exclusive transmittance from the
+  forward T output via suffix products and division (alpha <= 0.99), and
+  keeps the CUDA quirk of ignoring the 0.99 alpha cap in the gradient
+  chain; per-pair grads are emitted as (CHUNK, PAIR_W) rows —
+  collision-free because tile ranges are CHUNK-aligned.
 """
 from __future__ import annotations
 
@@ -35,9 +34,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 16
 PIX = TILE * TILE  # 256
-CHUNK = 8  # pairs per DMA'd block (f32 sublane-aligned)
+CHUNK = 32  # pairs per DMA'd block
 GROUP = 8  # tiles per grid step (sublane divisibility)
-PAIR_W = 16  # packed pair feature width:
+PAIR_W = 128  # packed pair feature width (padded to the TPU lane tile):
 # [0]=mean2d.x [1]=mean2d.y [2]=conic.a [3]=conic.b [4]=conic.c
 # [5]=opacity  [6:9]=rgb    [9:]=pad
 
@@ -52,20 +51,104 @@ def _pixel_coords(t, tiles_x: int):
     return lx.astype(jnp.float32), ly.astype(jnp.float32)
 
 
+def _prefix_prod_incl(q):
+    """Inclusive prefix product along axis 0 (static Hillis-Steele)."""
+    n = q.shape[0]
+    step = 1
+    while step < n:
+        shifted = jnp.concatenate(
+            [jnp.ones((step,) + q.shape[1:], q.dtype), q[:-step]], axis=0
+        )
+        q = q * shifted
+        step *= 2
+    return q
+
+
+def _suffix_prod_incl(q):
+    """Inclusive suffix product along axis 0."""
+    n = q.shape[0]
+    step = 1
+    while step < n:
+        shifted = jnp.concatenate(
+            [q[step:], jnp.ones((step,) + q.shape[1:], q.dtype)], axis=0
+        )
+        q = q * shifted
+        step *= 2
+    return q
+
+
+def _suffix_sum_excl(x):
+    """Exclusive suffix sum along axis 0: out[i] = sum_{j>i} x[j]."""
+    n = x.shape[0]
+    s = x
+    step = 1
+    while step < n:
+        shifted = jnp.concatenate(
+            [s[step:], jnp.zeros((step,) + x.shape[1:], x.dtype)], axis=0
+        )
+        s = s + shifted
+        step *= 2
+    return s - x
+
+
+def _chunk_features(scratch):
+    """Split the (CHUNK, PAIR_W) block into (CHUNK, 1) feature columns."""
+    mx = scratch[:, 0:1]
+    my = scratch[:, 1:2]
+    ca = scratch[:, 2:3]
+    cb = scratch[:, 3:4]
+    cc = scratch[:, 4:5]
+    op = scratch[:, 5:6]
+    r = scratch[:, 6:7]
+    g = scratch[:, 7:8]
+    b = scratch[:, 8:9]
+    return mx, my, ca, cb, cc, op, r, g, b
+
+
+def _alpha_terms(scratch, px, py):
+    """(CHUNK, PIX) alpha and validity (CUDA guard set, minus liveness)."""
+    mx, my, ca, cb, cc, op, r, g, b = _chunk_features(scratch)
+    dx = mx - px  # (CHUNK, PIX)
+    dy = my - py
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    G = jnp.exp(power)
+    alpha = jnp.minimum(0.99, op * G)
+    valid = (power <= 0.0) & (alpha >= (1.0 / 255.0))
+    return dx, dy, power, G, alpha, valid, (ca, cb, cc, op, r, g, b)
+
+
 def _fwd_kernel(
     starts_ref,  # scalar prefetch: (num_tiles_pad+1,) int32 pair offsets
     pairs_hbm,  # (P, PAIR_W) f32 in ANY/HBM
     t_out,  # (GROUP, PIX)
     c_out,  # (GROUP, 3*PIX)
-    last_out,  # (GROUP, PIX) int32 last contributor (pair idx), -1 none
-    scratch,  # (CHUNK, PAIR_W) VMEM
-    sem,  # DMA semaphore
+    last_out,  # (GROUP, PIX) f32 last contributor (pair idx), -1 none
+    scratch,  # (2, CHUNK, PAIR_W) VMEM double buffer
+    sem,  # (2,) DMA semaphores
     *,
     tiles_x: int,
 ):
     p = pl.program_id(0)
 
-    def tile_body(j, _):
+    # Tile pair ranges are contiguous and CHUNK-aligned, so the GROUP's
+    # blocks form one linear HBM stream — classic two-slot double
+    # buffering hides the per-block DMA latency behind compute.
+    group_start = starts_ref[p * GROUP]
+    group_end = starts_ref[p * GROUP + GROUP]
+    total_blocks = (group_end - group_start) // CHUNK
+
+    def block_dma(slot, b):
+        return pltpu.make_async_copy(
+            pairs_hbm.at[pl.ds(group_start + b * CHUNK, CHUNK)],
+            scratch.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(total_blocks > 0)
+    def _():
+        block_dma(0, 0).start()
+
+    def tile_body(j, g_blk):
         t = p * GROUP + j
         start = starts_ref[t]
         end = starts_ref[t + 1]
@@ -73,82 +156,88 @@ def _fwd_kernel(
         px, py = _pixel_coords(t, tiles_x)
 
         def chunk_body(ci, carry):
-            P_run, c0, c1, c2, done, last = carry
+            g_blk, P_run, c0, c1, c2, Tmin, last = carry
             base = start + ci * CHUNK
-            copy = pltpu.make_async_copy(
-                pairs_hbm.at[pl.ds(base, CHUNK)], scratch, sem
+            slot = jax.lax.rem(g_blk, 2)
+
+            @pl.when(g_blk + 1 < total_blocks)
+            def _():
+                block_dma(jax.lax.rem(g_blk + 1, 2), g_blk + 1).start()
+
+            block_dma(slot, g_blk).wait()
+            buf = scratch.at[slot]
+
+            _, _, _, _, alpha, valid, feats = _alpha_terms(
+                buf, px, py
             )
-            copy.start()
-            copy.wait()
-
-            def pair_body(i, inner):
-                P_run, c0, c1, c2, done, last = inner
-                live = (ci * CHUNK + i) < n
-                mx = scratch[i, 0]
-                my = scratch[i, 1]
-                ca = scratch[i, 2]
-                cb = scratch[i, 3]
-                cc = scratch[i, 4]
-                op = scratch[i, 5]
-                dx = mx - px
-                dy = my - py
-                power = (
-                    -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-                )
-                alpha = jnp.minimum(0.99, op * jnp.exp(power))
-                valid = (
-                    live & (power <= 0.0) & (alpha >= (1.0 / 255.0))
-                )
-                test_T = P_run * (1.0 - alpha)
-                crossing = valid & (test_T < 1e-4)
-                # done carried as a f32 mask (bool vector carries fail
-                # Mosaic's scf.for legalization)
-                contribute = valid & (~crossing) & (done < 0.5)
-                a_eff = jnp.where(contribute, alpha, 0.0)
-                w = a_eff * P_run
-                c0 = c0 + w * scratch[i, 6]
-                c1 = c1 + w * scratch[i, 7]
-                c2 = c2 + w * scratch[i, 8]
-                P_run = P_run * (1.0 - a_eff)
-                last = jnp.where(contribute, base + i, last)
-                done = jnp.maximum(
-                    done, jnp.where(crossing, 1.0, 0.0)
-                )
-                return P_run, c0, c1, c2, done, last
-
-            return jax.lax.fori_loop(0, CHUNK, pair_body, carry)
+            (ca, cb, cc, op, r, g, b) = feats
+            rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+            live = (ci * CHUNK + rows) < n  # (CHUNK, 1)
+            valid = valid & live
+            a_val = jnp.where(valid, alpha, 0.0)
+            q = 1.0 - a_val  # (CHUNK, PIX)
+            prefix = _prefix_prod_incl(q)
+            P_incl = P_run * prefix
+            P_excl = P_run * jnp.concatenate(
+                [jnp.ones((1, PIX), jnp.float32), prefix[:-1]], axis=0
+            )
+            contribute = valid & (P_incl >= 1e-4)
+            w = jnp.where(contribute, a_val * P_excl, 0.0)
+            c0 = c0 + jnp.sum(w * r, axis=0, keepdims=True)
+            c1 = c1 + jnp.sum(w * g, axis=0, keepdims=True)
+            c2 = c2 + jnp.sum(w * b, axis=0, keepdims=True)
+            Tmin = jnp.minimum(
+                Tmin,
+                jnp.min(
+                    jnp.where(contribute, P_incl, 1.0),
+                    axis=0,
+                    keepdims=True,
+                ),
+            )
+            idx = (base + rows).astype(jnp.float32)
+            last = jnp.maximum(
+                last,
+                jnp.max(
+                    jnp.where(contribute, idx, -1.0),
+                    axis=0,
+                    keepdims=True,
+                ),
+            )
+            P_run = P_incl[CHUNK - 1 : CHUNK, :]
+            return g_blk + 1, P_run, c0, c1, c2, Tmin, last
 
         ones = jnp.ones((1, PIX), jnp.float32)
         zeros = jnp.zeros((1, PIX), jnp.float32)
         n_chunks = pl.cdiv(n, CHUNK)
-        P_run, c0, c1, c2, done, last = jax.lax.fori_loop(
+        g_blk, P_run, c0, c1, c2, Tmin, last = jax.lax.fori_loop(
             0,
             n_chunks,
             chunk_body,
             (
+                g_blk,
                 ones,
                 zeros,
                 zeros,
                 zeros,
-                jnp.zeros((1, PIX), jnp.float32),
-                jnp.full((1, PIX), -1, jnp.int32),
+                ones,
+                jnp.full((1, PIX), -1.0, jnp.float32),
             ),
         )
-        t_out[pl.ds(j, 1), :] = P_run
+        t_out[pl.ds(j, 1), :] = Tmin
         c_out[pl.ds(j, 1), 0:PIX] = c0
         c_out[pl.ds(j, 1), PIX : 2 * PIX] = c1
         c_out[pl.ds(j, 1), 2 * PIX : 3 * PIX] = c2
         last_out[pl.ds(j, 1), :] = last
-        return 0
+        return g_blk
 
-    jax.lax.fori_loop(0, GROUP, tile_body, 0)
+    jax.lax.fori_loop(0, GROUP, tile_body, jnp.int32(0))
 
 
 def _bwd_kernel(
     starts_ref,  # scalar prefetch
     pairs_hbm,  # (P, PAIR_W) ANY
     t_final_ref,  # (GROUP, PIX) forward T
-    last_ref,  # (GROUP, PIX) int32 last contributor
+    last_ref,  # (GROUP, PIX) f32 last contributor
     dt_ref,  # (GROUP, PIX) dL/dT
     dc_ref,  # (GROUP, 3*PIX) dL/dC
     dpairs_hbm,  # out (P, PAIR_W) ANY per-pair grads
@@ -161,7 +250,27 @@ def _bwd_kernel(
 ):
     p = pl.program_id(0)
 
-    def tile_body(j, _):
+    # Reverse-linear block stream over the whole GROUP (reverse tile
+    # order + reverse chunk order) with two-slot double buffering.
+    group_start = starts_ref[p * GROUP]
+    group_end = starts_ref[p * GROUP + GROUP]
+    total_blocks = (group_end - group_start) // CHUNK
+
+    def block_dma(slot, b):
+        return pltpu.make_async_copy(
+            pairs_hbm.at[pl.ds(group_start + b * CHUNK, CHUNK)],
+            scratch.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(total_blocks > 0)
+    def _():
+        block_dma(
+            jax.lax.rem(total_blocks - 1, 2), total_blocks - 1
+        ).start()
+
+    def tile_body(jj, g_blk):
+        j = GROUP - 1 - jj  # reverse tile order
         t = p * GROUP + j
         start = starts_ref[t]
         end = starts_ref[t + 1]
@@ -177,109 +286,98 @@ def _bwd_kernel(
         n_chunks = pl.cdiv(n, CHUNK)
 
         def chunk_body(cj, carry):
-            T_cur, s_dot = carry
+            g_blk, T_after, s_dot = carry
             ci = n_chunks - 1 - cj  # reverse chunk order
             base = start + ci * CHUNK
-            copy = pltpu.make_async_copy(
-                pairs_hbm.at[pl.ds(base, CHUNK)], scratch, sem
+            slot = jax.lax.rem(g_blk, 2)
+
+            @pl.when(g_blk - 1 >= 0)
+            def _():
+                block_dma(jax.lax.rem(g_blk - 1, 2), g_blk - 1).start()
+
+            block_dma(slot, g_blk).wait()
+
+            dx, dy, power, G, alpha, valid, feats = _alpha_terms(
+                scratch.at[slot], px, py
             )
-            copy.start()
-            copy.wait()
+            (ca, cb, cc, op, r, g, b) = feats
+            rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+            idx = (base + rows).astype(jnp.float32)
+            live = (ci * CHUNK + rows) < n
+            contribute = valid & live & (idx <= last)
 
-            def pair_body(pj, inner):
-                T_cur, s_dot = inner
-                i = CHUNK - 1 - pj  # reverse within chunk
-                pair_idx = base + i
-                live = pair_idx < end
-                mx = scratch[i, 0]
-                my = scratch[i, 1]
-                ca = scratch[i, 2]
-                cb = scratch[i, 3]
-                cc = scratch[i, 4]
-                op = scratch[i, 5]
-                r = scratch[i, 6]
-                g = scratch[i, 7]
-                b = scratch[i, 8]
-                dx = mx - px
-                dy = my - py
-                power = (
-                    -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-                )
-                G = jnp.exp(power)
-                alpha = jnp.minimum(0.99, op * G)
-                valid = (
-                    live & (power <= 0.0) & (alpha >= (1.0 / 255.0))
-                )
-                contribute = valid & (pair_idx <= last)
+            a_val = jnp.where(contribute, alpha, 0.0)
+            q = 1.0 - a_val
+            # T_excl_i = T_after / prod_{j>=i} q_j
+            suffix = _suffix_prod_incl(q)
+            T_excl = T_after / suffix  # (CHUNK, PIX)
 
-                # Reconstruct exclusive transmittance by division
-                # (alpha <= 0.99 so 1 - alpha >= 0.01).
-                T_excl = jnp.where(
-                    contribute, T_cur / (1.0 - alpha), T_cur
-                )
-                a_eff = jnp.where(contribute, alpha, 0.0)
+            col_dot = r * dc0 + g * dc1 + b * dc2  # (CHUNK, PIX)
+            w = a_val * T_excl
+            contrib_term = w * col_dot
+            # s_dot for pair i = entering s_dot + suffix (j > i) in chunk
+            s_dot_i = s_dot + _suffix_sum_excl(contrib_term)
 
-                w = a_eff * T_excl
-                dL_dr = w * dc0
-                dL_dg = w * dc1
-                dL_db = w * dc2
-
-                inv_1ma = 1.0 / (1.0 - alpha)
-                dL_dalpha = jnp.where(
-                    contribute,
-                    T_excl * (r * dc0 + g * dc1 + b * dc2)
-                    - s_dot * inv_1ma
-                    - T_final * inv_1ma * dT,
-                    0.0,
-                )
-                # CUDA quirk: 0.99 cap ignored in the chain.
-                dL_dop = G * dL_dalpha
-                dL_dpower = op * G * dL_dalpha
-
-                dL_dca = -0.5 * dx * dx * dL_dpower
-                dL_dcb = -dx * dy * dL_dpower
-                dL_dcc = -0.5 * dy * dy * dL_dpower
-                dL_ddx = -(ca * dx + cb * dy) * dL_dpower
-                dL_ddy = -(cc * dy + cb * dx) * dL_dpower
-
-                gscratch[i, 0] = jnp.sum(dL_ddx)
-                gscratch[i, 1] = jnp.sum(dL_ddy)
-                gscratch[i, 2] = jnp.sum(dL_dca)
-                gscratch[i, 3] = jnp.sum(dL_dcb)
-                gscratch[i, 4] = jnp.sum(dL_dcc)
-                gscratch[i, 5] = jnp.sum(dL_dop)
-                gscratch[i, 6] = jnp.sum(dL_dr)
-                gscratch[i, 7] = jnp.sum(dL_dg)
-                gscratch[i, 8] = jnp.sum(dL_db)
-                for col in range(9, PAIR_W):
-                    gscratch[i, col] = 0.0
-
-                s_dot = s_dot + jnp.where(
-                    contribute,
-                    a_eff * (r * dc0 + g * dc1 + b * dc2) * T_excl,
-                    0.0,
-                )
-                return T_excl, s_dot
-
-            T_cur, s_dot = jax.lax.fori_loop(
-                0, CHUNK, pair_body, (T_cur, s_dot)
+            inv_1ma = 1.0 / q
+            dL_dalpha = jnp.where(
+                contribute,
+                T_excl * col_dot
+                - s_dot_i * inv_1ma
+                - T_final * inv_1ma * dT,
+                0.0,
             )
+            # CUDA quirk: 0.99 cap ignored in the chain.
+            dL_dop_pix = G * dL_dalpha
+            dL_dpower = op * G * dL_dalpha
+
+            dL_dr = jnp.sum(w * dc0, axis=1, keepdims=True)
+            dL_dg = jnp.sum(w * dc1, axis=1, keepdims=True)
+            dL_db = jnp.sum(w * dc2, axis=1, keepdims=True)
+            dL_dop = jnp.sum(dL_dop_pix, axis=1, keepdims=True)
+            dL_dca = jnp.sum(
+                -0.5 * dx * dx * dL_dpower, axis=1, keepdims=True
+            )
+            dL_dcb = jnp.sum(-dx * dy * dL_dpower, axis=1, keepdims=True)
+            dL_dcc = jnp.sum(
+                -0.5 * dy * dy * dL_dpower, axis=1, keepdims=True
+            )
+            dL_dmx = jnp.sum(
+                -(ca * dx + cb * dy) * dL_dpower, axis=1, keepdims=True
+            )
+            dL_dmy = jnp.sum(
+                -(cc * dy + cb * dx) * dL_dpower, axis=1, keepdims=True
+            )
+
+            grad_rows = jnp.concatenate(
+                [
+                    dL_dmx, dL_dmy, dL_dca, dL_dcb, dL_dcc, dL_dop,
+                    dL_dr, dL_dg, dL_db,
+                    jnp.zeros((CHUNK, PAIR_W - 9), jnp.float32),
+                ],
+                axis=1,
+            )
+            gscratch[:, :] = grad_rows
             wcopy = pltpu.make_async_copy(
                 gscratch, dpairs_hbm.at[pl.ds(base, CHUNK)], wsem
             )
             wcopy.start()
             wcopy.wait()
-            return T_cur, s_dot
 
-        jax.lax.fori_loop(
+            s_dot = s_dot + jnp.sum(
+                contrib_term, axis=0, keepdims=True
+            )
+            T_after = T_excl[0:1, :]  # == T_after / prod(chunk q)
+            return g_blk - 1, T_after, s_dot
+
+        g_blk, _, _ = jax.lax.fori_loop(
             0,
             n_chunks,
             chunk_body,
-            (T_final, jnp.zeros((1, PIX), jnp.float32)),
+            (g_blk, T_final, jnp.zeros((1, PIX), jnp.float32)),
         )
-        return 0
+        return g_blk
 
-    jax.lax.fori_loop(0, GROUP, tile_body, 0)
+    jax.lax.fori_loop(0, GROUP, tile_body, jnp.int32(0) + total_blocks - 1)
 
 
 def _pack_pairs(pair_mean2d, pair_conic, pair_opacity, pair_colors):
@@ -332,8 +430,8 @@ def _composite_fwd_impl(
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, PAIR_W), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, CHUNK, PAIR_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     T, C, last = pl.pallas_call(
@@ -341,7 +439,7 @@ def _composite_fwd_impl(
         out_shape=(
             jax.ShapeDtypeStruct((num_pad, PIX), jnp.float32),
             jax.ShapeDtypeStruct((num_pad, 3 * PIX), jnp.float32),
-            jax.ShapeDtypeStruct((num_pad, PIX), jnp.int32),
+            jax.ShapeDtypeStruct((num_pad, PIX), jnp.float32),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -425,9 +523,9 @@ def _composite_vjp_bwd(tiles_x, interpret, res, cots):
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
+            pltpu.VMEM((2, CHUNK, PAIR_W), jnp.float32),
             pltpu.VMEM((CHUNK, PAIR_W), jnp.float32),
-            pltpu.VMEM((CHUNK, PAIR_W), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -441,7 +539,7 @@ def _composite_vjp_bwd(tiles_x, interpret, res, cots):
         starts_pad,
         pairs,
         pad_rows(T, 1.0),
-        pad_rows(last, -1),
+        pad_rows(last, -1.0),
         pad_rows(dT),
         pad_rows(dC),
     )

@@ -262,11 +262,15 @@ def _build_aligned_pairs(
     offsets = jnp.cumsum(area)
     starts = offsets - area
 
+    # pair -> gaussian mapping WITHOUT searchsorted (log-n gather rounds
+    # are slow on TPU): scatter each nonzero-area gaussian's index at its
+    # start position, then a cummax fills the runs.
     pair_idx = jnp.arange(cfg.max_pairs, dtype=jnp.int32)
-    gid = jnp.searchsorted(offsets, pair_idx, side="right").astype(
-        jnp.int32
-    )
-    gid_c = jnp.clip(gid, 0, n - 1)
+    scatter_pos = jnp.where(area > 0, starts, cfg.max_pairs)
+    marks = jnp.zeros(cfg.max_pairs + 1, jnp.int32).at[scatter_pos].max(
+        jnp.arange(n, dtype=jnp.int32)
+    )[: cfg.max_pairs]
+    gid_c = jax.lax.cummax(marks)
     valid_pair = pair_idx < offsets[-1]
     k = pair_idx - starts[gid_c]
     tw = jnp.maximum(w_t[gid_c], 1)
@@ -290,16 +294,22 @@ def _build_aligned_pairs(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned).astype(jnp.int32)]
     )
 
+    # slot -> tile mapping, again scatter + cummax instead of
+    # searchsorted. Aligned tile starts are unique EXCEPT empty tiles
+    # (aligned count 0) which share the next tile's start — route those
+    # to the dummy slot; runs of empties resolve to the next non-empty
+    # tile, whose count test then masks them out.
     P = cfg.max_pairs + CHUNK * num_tiles
     pos = jnp.arange(P, dtype=jnp.int32)
-    tile_of = jnp.clip(
-        jnp.searchsorted(tile_start, pos, side="right").astype(jnp.int32)
-        - 1,
-        0,
-        num_tiles - 1,
-    )
+    t_scatter = jnp.where(aligned > 0, tile_start[:-1], P)
+    t_marks = jnp.zeros(P + 1, jnp.int32).at[t_scatter].max(
+        jnp.arange(num_tiles, dtype=jnp.int32)
+    )[:P]
+    tile_of = jax.lax.cummax(t_marks)
     slot = pos - tile_start[tile_of]
-    in_tile = (slot < counts[tile_of]) & (pos < tile_start[-1])
+    in_tile = (slot >= 0) & (slot < counts[tile_of]) & (
+        pos < tile_start[-1]
+    )
     src = jnp.clip(raw_start[tile_of] + slot, 0, cfg.max_pairs - 1)
     pair_gid = jnp.where(in_tile, order[sorted_gid[src]], 0)
     return pair_gid, in_tile, tile_start, tiles_x, tiles_y
