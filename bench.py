@@ -84,7 +84,7 @@ def main():
         height=img,
     )
     raster_cfg = RasterConfig(
-        max_pairs=1 << 17, max_per_tile=512, segment=32
+        max_pairs=1 << 16, max_per_tile=512, segment=32
     )
 
     scene = GroundingScene(
