@@ -87,15 +87,17 @@ def _stencil(constants: MPMConstants, x: jnp.ndarray):
     return base, weight, dpos, flat_idx
 
 
-def p2g(
+def p2g_scatter(
     constants: MPMConstants,
     statics: Statics,
     state: ParticleState,
     stress: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Particle-to-grid scatter (reference mpm.py:321-371).
+    """Particle-to-grid via XLA scatter-add (reference mpm.py:321-371).
 
-    Returns (grid_m (G^3,), grid_mv (G^3, 3)).
+    Returns (grid_m (G^3,), grid_mv (G^3, 3)). Deterministic (unlike the
+    reference's float atomics) but scatter is slow on TPU — the matmul
+    formulation below is the fast path.
     """
     g3 = constants.num_grids ** 3
     mass = statics.vol * statics.rho  # (N,)
@@ -124,6 +126,149 @@ def p2g(
         m_contrib.reshape(-1)
     )
     return grid_m, grid_mv
+
+
+def _axis_weights(constants: MPMConstants, x: jnp.ndarray):
+    """Per-axis dense quadratic B-spline weight matrices.
+
+    Returns (W, Wi): lists of 3 arrays (N, G) each — W[a][p, c] is the
+    axis-a spline weight of particle p at grid line c, and Wi[a] the same
+    weighted by the LOCAL tap offset i in {0,1,2} (used to reconstruct
+    the affine term's offset dependence).
+    """
+    g = constants.num_grids
+    p_x = x * constants.inv_dx
+    base = jnp.floor(p_x - 0.5).astype(jnp.int32)
+    fx = p_x - base.astype(x.dtype)
+    wa = 1.5 - fx
+    wb = fx - 1.0
+    wc = fx - 0.5
+    w = jnp.stack(
+        [0.5 * wa * wa, 0.75 - wb * wb, 0.5 * wc * wc], axis=-1
+    )  # (N, 3 axes, 3 taps)
+
+    coords = jnp.arange(g, dtype=jnp.int32)  # (G,)
+    W, Wi = [], []
+    for a in range(3):
+        rel = coords[None, :] - base[:, a : a + 1]  # (N, G) in {.., 0,1,2, ..}
+        tap0 = (rel == 0).astype(x.dtype)
+        tap1 = (rel == 1).astype(x.dtype)
+        tap2 = (rel == 2).astype(x.dtype)
+        Wa = (
+            w[:, a, 0:1] * tap0 + w[:, a, 1:2] * tap1 + w[:, a, 2:3] * tap2
+        )
+        Wia = w[:, a, 1:2] * tap1 + 2.0 * w[:, a, 2:3] * tap2
+        W.append(Wa)
+        Wi.append(Wia)
+    return W, Wi, base, fx
+
+
+def p2g_matmul(
+    constants: MPMConstants,
+    statics: Statics,
+    state: ParticleState,
+    stress: jnp.ndarray,
+    chunk: int = 16384,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Particle-to-grid as separable MXU matmuls (TPU fast path).
+
+    The 27-tap APIC scatter factorizes: with local tap offsets (i, j, k),
+        mv_tap = wx_i wy_j wz_k * (b + i*a0 + j*a1 + k*a2)
+    where b = mass*v - (A @ fx) * dx and a_c = A[:, c] * dx. The grid is
+    therefore a sum of four tensor-product terms, each computed as a
+    (G, N) @ (N, G^2) matmul against the per-particle (Wy x Wz) outer
+    products — dense, deterministic, and differentiable with matmul
+    transposes (no scatters anywhere, forward or backward).
+    """
+    g = constants.num_grids
+    dtype = state.x.dtype
+    n = state.x.shape[0]
+    mass = statics.vol * statics.rho * statics.enabled.astype(dtype)
+
+    stress_term = (
+        -constants.dt * statics.vol * 4.0 * constants.inv_dx * constants.inv_dx
+    )[:, None, None] * stress
+    affine = stress_term + mass[:, None, None] * state.C  # (N, 3, 3)
+
+    W, Wi, base, fx = _axis_weights(constants, state.x)
+    Wx, Wy, Wz = W
+    Wix, Wiy, Wiz = Wi
+    # Zero disabled particles through the x-axis weights.
+    en = statics.enabled.astype(dtype)[:, None]
+    Wx = Wx * en
+    Wix = Wix * en
+
+    dx = constants.dx
+    b_vec = mass[:, None] * state.v - jnp.einsum(
+        "nij,nj->ni", affine, fx
+    ) * dx  # (N, 3)
+    a_cols = affine * dx  # (N, 3 rows, 3 cols); a_c = affine[:, :, c]*dx
+
+    prec = jax.lax.Precision.HIGHEST
+
+    def accumulate(sl):
+        wx, wy, wz = Wx[sl], Wy[sl], Wz[sl]
+        wix, wiy, wiz = Wix[sl], Wiy[sl], Wiz[sl]
+        yz = (wy[:, :, None] * wz[:, None, :]).reshape(
+            wy.shape[0], g * g
+        )
+        yz_i = (wiy[:, :, None] * wz[:, None, :]).reshape(
+            wy.shape[0], g * g
+        )
+        yz_k = (wy[:, :, None] * wiz[:, None, :]).reshape(
+            wy.shape[0], g * g
+        )
+        b = b_vec[sl]
+        a = a_cols[sl]
+        m = mass[sl]
+
+        # grid_m: one matmul
+        grid_m = jnp.matmul(
+            wx.T, yz * m[:, None], precision=prec
+        )  # (G, G^2)
+
+        # grid_mv channel r:
+        #   Wx^T @ (yz * b_r) + Wix^T @ (yz * a0_r)
+        # + Wx^T @ (yz_i * a1_r) + Wx^T @ (yz_k * a2_r)
+        mv = []
+        for r2 in range(3):
+            lhs1 = yz * b[:, r2 : r2 + 1] + yz_i * a[:, r2, 1][:, None] \
+                + yz_k * a[:, r2, 2][:, None]
+            term = jnp.matmul(wx.T, lhs1, precision=prec)
+            term = term + jnp.matmul(
+                wix.T, yz * a[:, r2, 0][:, None], precision=prec
+            )
+            mv.append(term)
+        return grid_m, jnp.stack(mv, axis=-1)  # (G, G^2), (G, G^2, 3)
+
+    if n <= chunk:
+        grid_m, grid_mv = accumulate(slice(None))
+    else:
+        grid_m = jnp.zeros((g, g * g), dtype)
+        grid_mv = jnp.zeros((g, g * g, 3), dtype)
+        for start in range(0, n, chunk):
+            dm, dmv = accumulate(slice(start, min(start + chunk, n)))
+            grid_m = grid_m + dm
+            grid_mv = grid_mv + dmv
+
+    return grid_m.reshape(g ** 3), grid_mv.reshape(g ** 3, 3)
+
+
+def p2g(
+    constants: MPMConstants,
+    statics: Statics,
+    state: ParticleState,
+    stress: jnp.ndarray,
+    method: str = "auto",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Particle-to-grid scatter (reference mpm.py:321-371). ``method``:
+    'matmul' (MXU tensor-product path), 'scatter', or 'auto' (matmul for
+    grids where the (N, G^2) intermediates stay reasonable)."""
+    if method == "auto":
+        method = "matmul" if constants.num_grids <= 64 else "scatter"
+    if method == "matmul":
+        return p2g_matmul(constants, statics, state, stress)
+    return p2g_scatter(constants, statics, state, stress)
 
 
 def grid_op(

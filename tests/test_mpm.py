@@ -206,3 +206,62 @@ def test_nan_scrub_in_backward(rng):
 
     g = jax.grad(loss)(state.v)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_p2g_matmul_matches_scatter(rng):
+    from neuma_tpu.sim.mpm import p2g_matmul, p2g_scatter
+
+    constants, statics, state, _ = make_scene(rng, n=200, g=16)
+    stress = jnp.asarray(
+        1e-3 * rng.standard_normal((200, 3, 3)), jnp.float32
+    )
+    # nonzero C to exercise the affine decomposition
+    state = ParticleState(
+        x=state.x,
+        v=state.v,
+        C=jnp.asarray(0.1 * rng.standard_normal((200, 3, 3)), jnp.float32),
+        F=state.F,
+    )
+    m1, mv1 = p2g_scatter(constants, statics, state, stress)
+    m2, mv2 = p2g_matmul(constants, statics, state, stress)
+    np.testing.assert_allclose(
+        np.asarray(m2), np.asarray(m1), atol=1e-7, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(mv2), np.asarray(mv1), atol=2e-6, rtol=1e-3
+    )
+    # disabled particles excluded in both
+    statics2 = Statics(
+        vol=statics.vol, rho=statics.rho,
+        clip_bound=statics.clip_bound,
+        enabled=statics.enabled.at[::3].set(0),
+    )
+    m1d, _ = p2g_scatter(constants, statics2, state, stress)
+    m2d, _ = p2g_matmul(constants, statics2, state, stress)
+    np.testing.assert_allclose(
+        np.asarray(m2d), np.asarray(m1d), atol=1e-7, rtol=1e-4
+    )
+    # chunked path
+    m3, mv3 = p2g_matmul(constants, statics, state, stress, chunk=64)
+    np.testing.assert_allclose(
+        np.asarray(m3), np.asarray(m2), atol=1e-6, rtol=1e-4
+    )
+
+
+def test_p2g_matmul_gradients(rng):
+    from neuma_tpu.sim.mpm import p2g_matmul
+
+    constants, statics, state, _ = make_scene(rng, n=64, g=12)
+    stress = jnp.asarray(
+        1e-3 * rng.standard_normal((64, 3, 3)), jnp.float32
+    )
+
+    def loss(v, s):
+        st = ParticleState(x=state.x, v=v, C=state.C, F=state.F)
+        m, mv = p2g_matmul(constants, statics, st, s)
+        return jnp.sum(mv ** 2) + jnp.sum(m ** 2)
+
+    g_v, g_s = jax.grad(loss, argnums=(0, 1))(state.v, stress)
+    assert np.all(np.isfinite(np.asarray(g_v)))
+    assert np.all(np.isfinite(np.asarray(g_s)))
+    assert float(jnp.max(jnp.abs(g_v))) > 0
