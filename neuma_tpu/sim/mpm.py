@@ -265,10 +265,71 @@ def p2g(
     'matmul' (MXU tensor-product path), 'scatter', or 'auto' (matmul for
     grids where the (N, G^2) intermediates stay reasonable)."""
     if method == "auto":
-        method = "matmul" if constants.num_grids <= 64 else "scatter"
+        method = "matmul" if constants.num_grids <= 96 else "scatter"
     if method == "matmul":
         return p2g_matmul(constants, statics, state, stress)
     return p2g_scatter(constants, statics, state, stress)
+
+
+def scatter_separable(
+    constants: MPMConstants,
+    x: jnp.ndarray,
+    gate: jnp.ndarray,
+    b_vec: jnp.ndarray,
+    A_mat: jnp.ndarray,
+    chunk: int = 16384,
+) -> jnp.ndarray:
+    """Sum_p w_tap * gate_p * (b_p + A_p @ dpos_tap) over the 3^3 stencil
+    as separable matmuls (the same factorization as ``p2g_matmul``).
+    Returns a (G^3, 3) grid field. Used for the G2P custom VJP, whose
+    grid cotangent has exactly this scatter structure."""
+    g = constants.num_grids
+    dtype = x.dtype
+    n = x.shape[0]
+    dx = constants.dx
+
+    W, Wi, base, fx = _axis_weights(constants, x)
+    Wx, Wy, Wz = W
+    Wix, Wiy, Wiz = Wi
+    Wx = Wx * gate[:, None]
+    Wix = Wix * gate[:, None]
+
+    b_eff = b_vec - jnp.einsum("nij,nj->ni", A_mat, fx) * dx
+    a_cols = A_mat * dx
+    prec = jax.lax.Precision.HIGHEST
+
+    def accumulate(sl):
+        wx, wy, wz = Wx[sl], Wy[sl], Wz[sl]
+        wix, wiy, wiz = Wix[sl], Wiy[sl], Wiz[sl]
+        m_rows = wy.shape[0]
+        yz = (wy[:, :, None] * wz[:, None, :]).reshape(m_rows, g * g)
+        yz_i = (wiy[:, :, None] * wz[:, None, :]).reshape(m_rows, g * g)
+        yz_k = (wy[:, :, None] * wiz[:, None, :]).reshape(m_rows, g * g)
+        b = b_eff[sl]
+        a = a_cols[sl]
+        out = []
+        for r in range(3):
+            lhs = (
+                yz * b[:, r : r + 1]
+                + yz_i * a[:, r, 1][:, None]
+                + yz_k * a[:, r, 2][:, None]
+            )
+            term = jnp.matmul(wx.T, lhs, precision=prec)
+            term = term + jnp.matmul(
+                wix.T, yz * a[:, r, 0][:, None], precision=prec
+            )
+            out.append(term)
+        return jnp.stack(out, axis=-1)  # (G, G^2, 3)
+
+    if n <= chunk:
+        field = accumulate(slice(None))
+    else:
+        field = jnp.zeros((g, g * g, 3), dtype)
+        for start in range(0, n, chunk):
+            field = field + accumulate(
+                slice(start, min(start + chunk, n))
+            )
+    return field.reshape(g ** 3, 3)
 
 
 def grid_op(
@@ -310,7 +371,7 @@ def grid_op(
     return v
 
 
-def g2p(
+def _g2p_impl(
     constants: MPMConstants,
     statics: Statics,
     state: ParticleState,
@@ -349,6 +410,75 @@ def g2p(
     )
 
 
+@jax.custom_vjp
+def g2p(
+    constants: MPMConstants,
+    statics: Statics,
+    state: ParticleState,
+    grid_v: jnp.ndarray,
+) -> ParticleState:
+    """``_g2p_impl`` with a custom VJP: the grid-velocity cotangent (the
+    transpose of the 27-tap gather — a scatter, slow on TPU) is computed
+    with the separable-matmul scatter instead. Hand-derived chain:
+
+        d grid_v[tap] = w_tap * [ v_cot + dt*(clamp_mask o x_cot)
+                                  + kappa * (C_cot + dt * F_cot @ F^T)
+                                    @ dpos_tap ]
+
+    which is exactly the ``scatter_separable`` form. Particle-side
+    cotangents are delegated to AD with the grid held constant."""
+    return _g2p_impl(constants, statics, state, grid_v)
+
+
+def _g2p_fwd(constants, statics, state, grid_v):
+    out = _g2p_impl(constants, statics, state, grid_v)
+    return out, (constants, statics, state, grid_v)
+
+
+def _g2p_bwd(res, d):
+    constants, statics, state, grid_v = res
+
+    # Particle/state cotangents via AD (gathers only, no scatters).
+    _, vjp_fn = jax.vjp(
+        lambda st: _g2p_impl(constants, statics, st, grid_v), state
+    )
+    (d_state,) = vjp_fn(d)
+
+    # Grid cotangent via the separable matmul scatter.
+    dt = constants.dt
+    dx = constants.dx
+    kappa = 4.0 * constants.inv_dx * constants.inv_dx
+    enabled = (statics.enabled > 0).astype(state.x.dtype)
+
+    # Recompute new_v for the advection clamp pass-through mask.
+    _, weight, dpos, flat_idx = _stencil(constants, state.x)
+    v_taps = grid_v[flat_idx]
+    new_v = jnp.einsum("no,noi->ni", weight, v_taps)
+    pre = state.x + dt * new_v
+    clip = (statics.clip_bound * dx)[:, None]
+    mask = ((pre >= clip) & (pre <= 1.0 - clip)).astype(state.x.dtype)
+
+    b_vec = d.v + dt * (mask * d.x)
+    A_mat = kappa * (
+        d.C + dt * jnp.einsum("nij,nkj->nik", d.F, state.F)
+    )
+    d_grid = scatter_separable(
+        constants, state.x, enabled, b_vec, A_mat
+    )
+
+    def zero_cotangent(v):
+        if jnp.issubdtype(v.dtype, jnp.integer):
+            return np.zeros(v.shape, jax.dtypes.float0)
+        return jnp.zeros_like(v)
+
+    d_statics = jax.tree_util.tree_map(zero_cotangent, statics)
+    d_constants = jax.tree_util.tree_map(zero_cotangent, constants)
+    return d_constants, d_statics, d_state, d_grid
+
+
+g2p.defvjp(_g2p_fwd, _g2p_bwd)
+
+
 def mpm_step(
     constants: MPMConstants,
     statics: Statics,
@@ -365,7 +495,7 @@ def mpm_step(
 
 # --- gradient-parity wrapper ------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
+@jax.custom_vjp
 def mpm_step_diff(
     constants: MPMConstants,
     statics: Statics,
@@ -384,11 +514,11 @@ def mpm_step_diff(
 
 def _mpm_step_fwd(constants, statics, state, stress):
     out = mpm_step(constants, statics, state, stress)
-    return out, (statics, state, stress)
+    return out, (constants, statics, state, stress)
 
 
-def _mpm_step_bwd(constants, residuals, g):
-    statics, state, stress = residuals
+def _mpm_step_bwd(residuals, g):
+    constants, statics, state, stress = residuals
     _, vjp_fn = jax.vjp(
         lambda st, sr: mpm_step(constants, statics, st, sr), state, stress
     )
@@ -403,7 +533,8 @@ def _mpm_step_bwd(constants, residuals, g):
         return jnp.zeros_like(x)
 
     d_statics = jax.tree_util.tree_map(zero_cotangent, statics)
-    return d_statics, d_state, d_stress
+    d_constants = jax.tree_util.tree_map(zero_cotangent, constants)
+    return d_constants, d_statics, d_state, d_stress
 
 
 mpm_step_diff.defvjp(_mpm_step_fwd, _mpm_step_bwd)
