@@ -265,7 +265,7 @@ def p2g(
     'matmul' (MXU tensor-product path), 'scatter', or 'auto' (matmul for
     grids where the (N, G^2) intermediates stay reasonable)."""
     if method == "auto":
-        method = "matmul" if constants.num_grids <= 96 else "scatter"
+        method = "matmul" if constants.num_grids <= 48 else "scatter"
     if method == "matmul":
         return p2g_matmul(constants, statics, state, stress)
     return p2g_scatter(constants, statics, state, stress)
