@@ -5,10 +5,10 @@ autograd bridge (``modules/nclaw/warp/svd.py`` in the reference repo).
 
 Design notes
 ------------
-* Forward: fully-vectorized one-sided Jacobi — a fixed number of cyclic
-  sweeps over column pairs, no data-dependent control flow, so the whole
-  batch maps onto the VPU as dense elementwise math. No LAPACK-style
-  custom-calls, no per-element loops.
+* Forward: fully-scalarized one-sided Jacobi — the 3x3 matrix is carried
+  as nine (N,) component arrays so every op is a full-lane VPU op over
+  the batch dim (trailing size-3 dims would waste 125/128 lanes). Fixed
+  sweep count, no data-dependent control flow.
 * Sign convention matches the reference (``svd.py:76-92``): ``det(U) > 0``
   and ``det(V) > 0`` are enforced by flipping the third column of U/V and
   the sign of ``sigma[2]``. Singular values are sorted by magnitude
@@ -24,95 +24,112 @@ that ``A == U @ diag(sigma) @ Vh``.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
 _JACOBI_SWEEPS = 6  # 3 pairs/sweep; 6 sweeps converges f32 for well-scaled F
 
 
-def _one_sided_jacobi(A: jnp.ndarray, sweeps: int):
-    """One-sided Jacobi: orthogonalize the columns of B = A V.
+def _svd3_fwd_impl(A: jnp.ndarray, sweeps: int = _JACOBI_SWEEPS):
+    orig_dtype = A.dtype
+    A = A.astype(jnp.float32)
 
-    B starts as A; each rotation makes one pair of columns orthogonal.
-    V accumulates the right rotations. Batched over leading dims.
-    Columns are carried as explicit (..., 3) arrays — pure elementwise
-    VPU math, no in-place column scatters.
-    """
-    b = [A[..., :, 0], A[..., :, 1], A[..., :, 2]]
-    eye = jnp.eye(3, dtype=A.dtype)
+    # Columns as lists of 3 scalar (batch-shaped) arrays.
+    b = [[A[..., r, c] for r in range(3)] for c in range(3)]
+    one = jnp.ones_like(b[0][0])
+    zero = jnp.zeros_like(b[0][0])
     v = [
-        jnp.broadcast_to(eye[:, i], A.shape[:-1]) for i in range(3)
+        [one if r == c else zero for r in range(3)] for c in range(3)
     ]
 
     def rotate(p, q):
         bp, bq = b[p], b[q]
-        alpha = jnp.sum(bp * bp, axis=-1)
-        beta = jnp.sum(bq * bq, axis=-1)
-        gamma = jnp.sum(bp * bq, axis=-1)
-        # Rotation angle that zeroes gamma. Skip (identity rotation) once the
-        # pair is numerically orthogonal — otherwise roundoff-level gamma
-        # with alpha ~ beta produces large spurious rotations that destroy
-        # the last bits of precision for near-orthogonal inputs.
+        alpha = bp[0] * bp[0] + bp[1] * bp[1] + bp[2] * bp[2]
+        beta = bq[0] * bq[0] + bq[1] * bq[1] + bq[2] * bq[2]
+        gamma = bp[0] * bq[0] + bp[1] * bq[1] + bp[2] * bq[2]
+        # Skip (identity rotation) once the pair is numerically
+        # orthogonal — roundoff-level gamma with alpha ~ beta would
+        # otherwise produce large spurious rotations.
         denom_ok = gamma * gamma > (1e-14 * alpha * beta + 1e-38)
         safe_gamma = jnp.where(denom_ok, gamma, 1.0)
         zeta = (beta - alpha) / (2.0 * safe_gamma)
         t = jnp.sign(zeta) / (jnp.abs(zeta) + jnp.sqrt(1.0 + zeta * zeta))
         t = jnp.where(denom_ok, t, 0.0)
-        c = (1.0 / jnp.sqrt(1.0 + t * t))[..., None]
-        s = c * t[..., None]
-        b[p], b[q] = c * bp - s * bq, s * bp + c * bq
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = c * t
+        b[p] = [c * bp[r] - s * bq[r] for r in range(3)]
+        b[q] = [s * bp[r] + c * bq[r] for r in range(3)]
         vp, vq = v[p], v[q]
-        v[p], v[q] = c * vp - s * vq, s * vp + c * vq
+        v[p] = [c * vp[r] - s * vq[r] for r in range(3)]
+        v[q] = [s * vp[r] + c * vq[r] for r in range(3)]
 
     for _ in range(sweeps):
         for (p, q) in ((0, 1), (0, 2), (1, 2)):
             rotate(p, q)
-    B = jnp.stack(b, axis=-1)
-    V = jnp.stack(v, axis=-1)
-    return B, V
 
+    sig = [
+        jnp.sqrt(b[c][0] ** 2 + b[c][1] ** 2 + b[c][2] ** 2)
+        for c in range(3)
+    ]
 
-def _svd3_fwd_impl(A: jnp.ndarray, sweeps: int = _JACOBI_SWEEPS):
-    orig_dtype = A.dtype
-    # Accumulate the Jacobi iteration in f64 when available, else f32.
-    Bc, V = _one_sided_jacobi(A.astype(jnp.float32), sweeps)
-    s = jnp.sqrt(jnp.sum(Bc * Bc, axis=-2))  # column norms, (..., 3)
+    # Sort columns by sigma descending: comparator network (0,1)(1,2)(0,1).
+    def cswap(i, j):
+        swap = sig[i] < sig[j]
 
-    # Sort singular values descending; permute columns of B and V.
-    order = jnp.argsort(-s, axis=-1)
-    s = jnp.take_along_axis(s, order, axis=-1)
-    Bc = jnp.take_along_axis(Bc, order[..., None, :], axis=-1)
-    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+        def sel(x, y):
+            return jnp.where(swap, y, x), jnp.where(swap, x, y)
 
-    # U columns = normalized B columns; guard tiny columns.
-    safe_s = jnp.maximum(s, 1e-30)
-    U = Bc / safe_s[..., None, :]
+        sig[i], sig[j] = sel(sig[i], sig[j])
+        for r in range(3):
+            b[i][r], b[j][r] = sel(b[i][r], b[j][r])
+            v[i][r], v[j][r] = sel(v[i][r], v[j][r])
 
-    # Degenerate fallback: if the smallest singular value collapses, rebuild
-    # the last U column from the cross product of the first two so U stays
-    # orthonormal (reference Warp svd3 is robust here too).
-    u2 = jnp.cross(U[..., :, 0], U[..., :, 1], axis=-1)
-    u2n = u2 / jnp.maximum(
-        jnp.linalg.norm(u2, axis=-1, keepdims=True), 1e-30
-    )
-    tiny = (s[..., 2] < 1e-8)[..., None]
-    U = U.at[..., :, 2].set(jnp.where(tiny, u2n, U[..., :, 2]))
+    cswap(0, 1)
+    cswap(1, 2)
+    cswap(0, 1)
+
+    # U columns = normalized B columns, with a cross-product fallback for
+    # a collapsed third column (keeps U orthonormal; reference Warp svd3
+    # is robust here too).
+    u = [[None] * 3 for _ in range(3)]
+    for c in range(3):
+        inv = 1.0 / jnp.maximum(sig[c], 1e-30)
+        for r in range(3):
+            u[c][r] = b[c][r] * inv
+    cx = u[0][1] * u[1][2] - u[0][2] * u[1][1]
+    cy = u[0][2] * u[1][0] - u[0][0] * u[1][2]
+    cz = u[0][0] * u[1][1] - u[0][1] * u[1][0]
+    cn = jnp.maximum(jnp.sqrt(cx * cx + cy * cy + cz * cz), 1e-30)
+    tiny = sig[2] < 1e-8
+    u[2][0] = jnp.where(tiny, cx / cn, u[2][0])
+    u[2][1] = jnp.where(tiny, cy / cn, u[2][1])
+    u[2][2] = jnp.where(tiny, cz / cn, u[2][2])
+
+    def det3(m):
+        return (
+            m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+            - m[1][0] * (m[0][1] * m[2][2] - m[0][2] * m[2][1])
+            + m[2][0] * (m[0][1] * m[1][2] - m[0][2] * m[1][1])
+        )
 
     # Sign fix: det(U) > 0, det(V) > 0 via 3rd-column flips folded into
     # sigma[2] (reference modules/nclaw/warp/svd.py:76-92).
-    detU = jnp.linalg.det(U)
-    flipU = (detU < 0.0)[..., None]
-    U = U.at[..., :, 2].set(jnp.where(flipU, -U[..., :, 2], U[..., :, 2]))
-    s = s.at[..., 2].set(jnp.where(flipU[..., 0], -s[..., 2], s[..., 2]))
+    for cols in (u, v):
+        flip = det3(cols) < 0.0
+        sgn = jnp.where(flip, -1.0, 1.0)
+        for r in range(3):
+            cols[2][r] = cols[2][r] * sgn
+        sig[2] = sig[2] * sgn
 
-    detV = jnp.linalg.det(V)
-    flipV = (detV < 0.0)[..., None]
-    V = V.at[..., :, 2].set(jnp.where(flipV, -V[..., :, 2], V[..., :, 2]))
-    s = s.at[..., 2].set(jnp.where(flipV[..., 0], -s[..., 2], s[..., 2]))
-
-    Vh = jnp.swapaxes(V, -1, -2)
+    U = jnp.stack(
+        [jnp.stack([u[c][r] for c in range(3)], axis=-1) for r in range(3)],
+        axis=-2,
+    )
+    Vh = jnp.stack(
+        [jnp.stack([v[c][r] for r in range(3)], axis=-1) for c in range(3)],
+        axis=-2,
+    )
+    s = jnp.stack(sig, axis=-1)
     return (
         U.astype(orig_dtype),
         s.astype(orig_dtype),
