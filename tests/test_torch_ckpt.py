@@ -116,3 +116,45 @@ def test_params_npz_roundtrip(tmp_path, rng):
         jax.tree_util.tree_leaves(pe), jax.tree_util.tree_leaves(loaded)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_state_roundtrip(tmp_path, rng):
+    import optax
+
+    from neuma_tpu.train.checkpoint import (
+        MetricsLogger,
+        load_train_state,
+        save_train_state,
+    )
+
+    params = {
+        "w": jnp.asarray(rng.standard_normal((4, 4)), jnp.float32),
+        "b": jnp.asarray(rng.standard_normal((4,)), jnp.float32),
+    }
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    payload_path = tmp_path / "state.npz"
+    save_train_state(payload_path, 7, params, opt_state)
+
+    template = {
+        "step": np.int64(0),
+        "params": jax.tree_util.tree_map(jnp.zeros_like, params),
+        "opt_state": opt.init(
+            jax.tree_util.tree_map(jnp.zeros_like, params)
+        ),
+    }
+    restored = load_train_state(payload_path, template)
+    assert int(restored["step"]) == 7
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]), np.asarray(params["w"])
+    )
+
+    log_path = tmp_path / "metrics.jsonl"
+    logger = MetricsLogger(log_path)
+    logger.log(1, loss=0.5, lr=1e-3)
+    logger.log(2, loss=0.25)
+    logger.close()
+    import json
+
+    rows = [json.loads(l) for l in open(log_path)]
+    assert rows[0]["loss"] == 0.5 and rows[1]["step"] == 2
