@@ -232,7 +232,7 @@ def main(argv=None):
         return jnp.concatenate(outs)
 
     @jax.jit
-    def sim_frame(state):
+    def sim_frame(state, statics):
         stress = elasticity.apply(pes, state.F)
         new = mpm_step(constants, statics, state, stress)
         F = plasticity.apply(pps, new.F)
@@ -269,8 +269,20 @@ def main(argv=None):
         particles_root = out_root / args.save_particles
         particles_root.mkdir(exist_ok=True)
 
+    sections = [o["init_data"].num_particles for o in objs]
+    spans = [tuple(o["init_data"].span) for o in objs]
+    dynamic_spans = any(
+        s[0] > 0 or s[1] <= args.eval_steps for s in spans
+    )
+
     for step in range(1, args.eval_steps + 1):
-        state = sim_frame(state)
+        if dynamic_spans:
+            # Per-step enabled spans (reference
+            # statics_initializer.update, inference loop :310).
+            statics = statics.with_enabled_at_step(
+                sections, spans, step
+            )
+        state = sim_frame(state, statics)
         de_x = maybe_denorm(state.x)
         # per-object binding application, then concat (reference
         # preprocess_for_rasterization, tune/utils.py:475-523)

@@ -312,6 +312,13 @@ def _build_aligned_pairs(
     )
     src = jnp.clip(raw_start[tile_of] + slot, 0, cfg.max_pairs - 1)
     pair_gid = jnp.where(in_tile, order[sorted_gid[src]], 0)
+    # Name the (small, integer) pair layout so rollout remat policies can
+    # SAVE it instead of re-running the sorts (see train/grounding.py).
+    from jax.ad_checkpoint import checkpoint_name
+
+    pair_gid = checkpoint_name(pair_gid, "raster_pairs")
+    in_tile = checkpoint_name(in_tile, "raster_pairs")
+    tile_start = checkpoint_name(tile_start, "raster_pairs")
     return pair_gid, in_tile, tile_start, tiles_x, tiles_y
 
 

@@ -171,8 +171,13 @@ def make_rollout_loss(scene: GroundingScene) -> Callable:
             )
             return (state, new_prev_x, new_prev_g), weight * keep * frame_loss
 
+        # Per-frame remat, but SAVE the rasterizer's integer pair layout
+        # (~1MB/frame) so the sorts/binning don't run again in backward.
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "raster_pairs"
+        )
         (state, _, _), frame_losses = jax.lax.scan(
-            jax.checkpoint(frame_body),
+            jax.checkpoint(frame_body, policy=policy),
             carry,
             (scene.gt_images, frame_weights, excluded),
         )
