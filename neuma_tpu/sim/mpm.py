@@ -265,9 +265,12 @@ def p2g(
     'matmul' (MXU tensor-product path), 'scatter', or 'auto' (matmul for
     grids where the (N, G^2) intermediates stay reasonable)."""
     if method == "auto":
-        method = "matmul" if constants.num_grids <= 48 else "scatter"
+        method = "matmul" if constants.num_grids <= 96 else "scatter"
     if method == "matmul":
-        return p2g_matmul(constants, statics, state, stress)
+        # Bound the (chunk, G^2) intermediates to ~32M elements.
+        g2 = constants.num_grids ** 2
+        chunk = max(2048, (1 << 25) // g2)
+        return p2g_matmul(constants, statics, state, stress, chunk=chunk)
     return p2g_scatter(constants, statics, state, stress)
 
 
