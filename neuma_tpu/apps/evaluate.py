@@ -101,6 +101,25 @@ def main(argv=None):
     rows = evaluate_frames(
         render_paths, gt_paths, args.crop, _lpips_model()
     )
+
+    if args.video:
+        # Side-by-side comparison video (reference evaluation.py writes
+        # render|gt composites).
+        from PIL import Image
+
+        sbs_dir = Path(args.render_dir) / "side_by_side"
+        sbs_dir.mkdir(exist_ok=True)
+        for i, (rp, gp) in enumerate(zip(render_paths, gt_paths)):
+            r = Image.open(rp).convert("RGB")
+            g = Image.open(gp).convert("RGB")
+            combo = Image.new("RGB", (r.width + g.width, r.height))
+            combo.paste(r, (0, 0))
+            combo.paste(g, (r.width, 0))
+            combo.save(sbs_dir / f"sbs_{i:04d}.png")
+        save_video(
+            sbs_dir, "sbs_*.png",
+            Path(args.render_dir) / "side_by_side.mp4",
+        )
     keys = rows[0].keys()
     means = {k: float(np.mean([r[k] for r in rows])) for k in keys}
     out_path = Path(

@@ -14,6 +14,7 @@ from __future__ import annotations
 import io
 import json
 import threading
+from pathlib import Path
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -37,6 +38,9 @@ button { margin: 4px 2px; }
   <input type="range" id="frame" min="0" max="0" value="0"/>
   <button id="play">play</button>
   <button id="resim">Re-Simulate</button>
+  <button id="addkey">+keyframe</button>
+  <button id="renderpath">render path</button>
+  <span id="nkeys">0 keys</span>
   <div id="objects"></div>
   <div>drag = orbit, wheel = zoom</div>
 </div>
@@ -82,6 +86,18 @@ document.getElementById('resim').onclick = async () => {
   await fetch('/resimulate', {method:'POST',
     body: JSON.stringify({objects: toggles})});
   await info(); refresh();
+};
+let keyframes = [];
+document.getElementById('addkey').onclick = () => {
+  keyframes.push({eye: eye(), target: [...target]});
+  document.getElementById('nkeys').textContent = `${keyframes.length} keys`;
+};
+document.getElementById('renderpath').onclick = async () => {
+  if (keyframes.length < 2) { alert('need >= 2 keyframes'); return; }
+  const r = await fetch('/render_path', {method:'POST',
+    body: JSON.stringify({keyframes, steps_per_segment: 12})});
+  const d = await r.json();
+  alert('path video: ' + d.path);
 };
 async function info() {
   const r = await fetch('/info'); const d = await r.json();
@@ -179,7 +195,62 @@ class DynamicViewer:
                     self._send(404, "text/plain", b"not found")
 
             def do_POST(self):
-                if self.path == "/resimulate":
+                if self.path == "/render_path":
+                    # Camera-path rendering (the equivalent of the
+                    # reference's vendored nerfstudio render_panel:
+                    # keyframes -> slerp path -> video, playing the
+                    # rollout along the path).
+                    length = int(self.headers.get("Content-Length", 0))
+                    data = json.loads(self.rfile.read(length) or b"{}")
+                    keys = data.get("keyframes", [])
+                    steps = int(data.get("steps_per_segment", 12))
+                    cams = []
+                    for a, b in zip(keys[:-1], keys[1:]):
+                        c1 = Camera.look_at(
+                            eye=np.array(a["eye"]),
+                            target=np.array(a["target"]),
+                            fov=viewer.fov,
+                            width=viewer.width,
+                            height=viewer.height,
+                        )
+                        c2 = Camera.look_at(
+                            eye=np.array(b["eye"]),
+                            target=np.array(b["target"]),
+                            fov=viewer.fov,
+                            width=viewer.width,
+                            height=viewer.height,
+                        )
+                        cams.extend(Camera.interpolate(c1, c2, steps))
+                    import tempfile
+
+                    out_dir = Path(tempfile.mkdtemp(prefix="campath_"))
+                    n_frames = max(len(viewer.instance.frames), 1)
+                    with viewer._lock:
+                        for i, cam in enumerate(cams):
+                            arr = viewer.instance.render_frame(
+                                i % n_frames, cam
+                            )
+                            from PIL import Image
+
+                            Image.fromarray(arr).save(
+                                out_dir / f"path_{i:04d}.png"
+                            )
+                    from ..utils.video import save_video
+
+                    video_path = out_dir / "camera_path.mp4"
+                    save_video(out_dir, "path_*.png", video_path)
+                    # save_video may fall back to .gif
+                    produced = (
+                        video_path
+                        if video_path.exists()
+                        else video_path.with_suffix(".gif")
+                    )
+                    self._send(
+                        200,
+                        "application/json",
+                        json.dumps({"path": str(produced)}).encode(),
+                    )
+                elif self.path == "/resimulate":
                     length = int(self.headers.get("Content-Length", 0))
                     data = json.loads(self.rfile.read(length) or b"{}")
                     toggles = data.get("objects", {})

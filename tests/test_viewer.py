@@ -98,3 +98,31 @@ def test_viewer_http_endpoints(rng):
         urllib.request.urlopen(req)
     finally:
         server.shutdown()
+
+
+def test_viewer_camera_path(rng):
+    inst = make_instance(rng, frames=2)
+    viewer = DynamicViewer(inst, width=48, height=48)
+    server = viewer.serve(port=0, blocking=False)
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        req = urllib.request.Request(
+            base + "/render_path",
+            data=json.dumps(
+                {
+                    "keyframes": [
+                        {"eye": [0.5, 0.6, -1.0], "target": [0.5, 0.5, 0.5]},
+                        {"eye": [-1.0, 0.6, 0.5], "target": [0.5, 0.5, 0.5]},
+                    ],
+                    "steps_per_segment": 3,
+                }
+            ).encode(),
+            method="POST",
+        )
+        resp = json.loads(urllib.request.urlopen(req).read())
+        from pathlib import Path
+
+        assert Path(resp["path"]).exists()
+    finally:
+        server.shutdown()
