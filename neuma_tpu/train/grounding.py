@@ -323,8 +323,27 @@ def finetune_constitutive(
     loss_fn = make_rollout_loss(scene)
     init_v = jnp.asarray(init_v, jnp.float32)
 
-    e_sched = fetch_schedule(cfg["elasticity_scheduler"], e_lr)
-    p_sched = fetch_schedule(cfg["plasticity_scheduler"], p_lr)
+    e_sched_base = fetch_schedule(cfg["elasticity_scheduler"], e_lr)
+    p_sched_base = fetch_schedule(cfg["plasticity_scheduler"], p_lr)
+
+    def with_warmup(base, lr0):
+        """Reference warmup semantics (finetune.py:345-351, 482-484):
+        linear lr ramp for the first ``warmup_step`` epochs; the decay
+        schedule only starts stepping afterwards."""
+        if warmup == 0:
+            return base
+
+        def sched(count):
+            c = jnp.asarray(count, jnp.float32)
+            ramp = lr0 * (c + 1.0) / warmup
+            return jnp.where(
+                c < warmup, ramp, base(jnp.maximum(c - warmup, 0))
+            )
+
+        return sched
+
+    e_sched = with_warmup(e_sched_base, e_lr)
+    p_sched = with_warmup(p_sched_base, p_lr)
 
     e_mask = scene.elasticity.lora_mask(params_e)
     p_mask = scene.plasticity.lora_mask(params_p)
