@@ -53,6 +53,14 @@ def parse_args(argv=None):
     p.add_argument("--sim_dt", "-dt", type=float, default=None)
     p.add_argument("--debug_views", "-dv", nargs="+", default=[])
     p.add_argument("--save_particles", "-sp", type=str, default=None)
+    p.add_argument(
+        "--change_base_model", "-cbm", type=str, default=None,
+        help="Replace the pretrained base model for rendering.",
+    )
+    p.add_argument(
+        "--alpha", type=float, default=None,
+        help="Rewrite the plasticity adaptor alpha.",
+    )
     p.add_argument("--fps", type=int, default=30)
     p.add_argument("--set", nargs="*", default=[])
     return p.parse_args(argv)
@@ -63,6 +71,10 @@ def main(argv=None):
     cfg = load_config(args.config, args.set)
     if args.sim_dt is not None:
         cfg.sim.dt = args.sim_dt
+    if args.change_base_model is not None:
+        cfg.pretrained_ckpt = args.change_base_model
+    if args.alpha is not None:
+        cfg.constitution.plasticity.alpha = args.alpha
 
     exp_root = Path(cfg.root) / cfg.name
     result_root = exp_root / "results"

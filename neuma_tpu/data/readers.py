@@ -193,11 +193,40 @@ READERS = {
 }
 
 
+def _downscale_record(r: FrameRecord, res: int) -> FrameRecord:
+    """Downscale image + camera by an integer divisor."""
+    from PIL import Image
+
+    h, w = r.image.shape[1], r.image.shape[2]
+    nw, nh = w // res, h // res
+    img = Image.fromarray(
+        (r.image.transpose(1, 2, 0) * 255).astype(np.uint8)
+    ).resize((nw, nh))
+    arr = np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0
+    import dataclasses as _dc
+
+    cam = Camera(
+        world_view=r.camera.world_view,
+        full_proj=r.camera.full_proj,
+        camera_center=r.camera.camera_center,
+        width=nw,
+        height=nh,
+        fov_x=r.camera.fov_x,
+        fov_y=r.camera.fov_y,
+        znear=r.camera.znear,
+        zfar=r.camera.zfar,
+    )
+    return FrameRecord(view=r.view, step=r.step, camera=cam, image=arr)
+
+
 class VideoDataset:
     """Cameras + GT frames indexed by (view, step), with the trainable
     initial state handled by the training stage (reference
     ``VideoDataset``, neuma_dataset.py:76-153 — the nn.Parameter
-    lifecycle maps to the stage-1 optimizer in train/grounding.py)."""
+    lifecycle maps to the stage-1 optimizer in train/grounding.py).
+
+    ``cfg['camera']['resolution']`` is the integer downscale divisor
+    (reference camera_utils resolution handling)."""
 
     def __init__(self, cfg: dict):
         camera_type = cfg["camera_type"]
@@ -206,6 +235,12 @@ class VideoDataset:
         self.views: List[str] = info["views"]
         self.steps: List[int] = info["steps"]
         self.records: List[FrameRecord] = info["records"]
+
+        res = int(cfg.get("camera", {}).get("resolution", 1) or 1)
+        if res > 1:
+            self.records = [
+                _downscale_record(r, res) for r in self.records
+            ]
         self._by_key = {
             (r.view, r.step): r for r in self.records
         }
