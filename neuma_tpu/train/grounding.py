@@ -101,34 +101,61 @@ def make_rollout_loss(scene: GroundingScene) -> Callable:
             excluded[f] = 1.0
     excluded = jnp.asarray(excluded)
 
-    def render_views(means3d, cov_def):
-        imgs = []
-        for cam in scene.cameras:
-            if scene.force_mask_data:
-                img = rasterize(
-                    means3d,
-                    cov_def,
-                    opacity,
-                    cam,
-                    scene.background,
-                    colors_precomp=jnp.ones(
-                        (means3d.shape[0], 3), means3d.dtype
-                    ),
-                    cfg=scene.raster_cfg,
+    def render_one(cam, means3d, cov_def):
+        if scene.force_mask_data:
+            return rasterize(
+                means3d,
+                cov_def,
+                opacity,
+                cam,
+                scene.background,
+                colors_precomp=jnp.ones(
+                    (means3d.shape[0], 3), means3d.dtype
+                ),
+                cfg=scene.raster_cfg,
+            )
+        return rasterize(
+            means3d,
+            cov_def,
+            opacity,
+            cam,
+            scene.background,
+            shs=shs,
+            sh_degree=sh_degree,
+            cfg=scene.raster_cfg,
+        )
+
+    cams = list(scene.cameras)
+    homogeneous_views = len(cams) > 1 and all(
+        (c.width, c.height, c.fov_x, c.fov_y)
+        == (cams[0].width, cams[0].height, cams[0].fov_x, cams[0].fov_y)
+        for c in cams
+    )
+    if homogeneous_views:
+        # One render instance vmapped over the view axis (smaller graph
+        # than an unrolled per-view loop; view axis shardable).
+        cam_wv = jnp.stack([c.world_view for c in cams])
+        cam_fp = jnp.stack([c.full_proj for c in cams])
+        cam_cc = jnp.stack([c.camera_center for c in cams])
+
+        def render_views(means3d, cov_def):
+            def one(wv, fp, cc):
+                cam = dataclasses.replace(
+                    cams[0],
+                    world_view=wv,
+                    full_proj=fp,
+                    camera_center=cc,
                 )
-            else:
-                img = rasterize(
-                    means3d,
-                    cov_def,
-                    opacity,
-                    cam,
-                    scene.background,
-                    shs=shs,
-                    sh_degree=sh_degree,
-                    cfg=scene.raster_cfg,
-                )
-            imgs.append(img)
-        return jnp.stack(imgs)  # (n_views, 3, H, W)
+                return render_one(cam, means3d, cov_def)
+
+            return jax.vmap(one)(cam_wv, cam_fp, cam_cc)
+
+    else:
+
+        def render_views(means3d, cov_def):
+            return jnp.stack(
+                [render_one(cam, means3d, cov_def) for cam in cams]
+            )
 
     def loss_fn(params_e, params_p, init_v, frame_weights):
         v0 = jnp.broadcast_to(
