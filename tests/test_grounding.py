@@ -241,3 +241,56 @@ def test_lora_stage_runs_and_decreases(rng):
         np.asarray(pe["final"]["kernel"]),
     )
     assert 1 in ckpts
+
+
+def test_full_pipeline_gradient_finite_difference(rng):
+    """End-to-end gradient check: d(loss)/d(init_v) through materials ->
+    MPM rollout -> binding -> rasterizer matches central differences
+    (the strongest available proxy for BASELINE's 'grad allclose')."""
+    scene = build_scene(rng, n=120, g=12, frames=2, substeps=2,
+                        material="meta")
+    gt = render_gt(scene, jnp.asarray([0.25, 0.05, 0.0], jnp.float32))
+    scene = dataclasses.replace(scene, gt_images=gt)
+    loss_fn = make_rollout_loss(scene)
+    weights = jnp.ones(scene.num_frames, jnp.float32)
+    pe, pp = scene.elasticity_params, scene.plasticity_params
+
+    def f(iv):
+        return loss_fn(pe, pp, iv, weights)
+
+    iv0 = jnp.asarray([0.1, -0.05, 0.02], jnp.float32)
+    g = np.asarray(jax.grad(f)(iv0))
+    assert np.all(np.isfinite(g))
+    eps = 2e-3
+    for k in range(3):
+        up = np.array(iv0)
+        up[k] += eps
+        dn = np.array(iv0)
+        dn[k] -= eps
+        fd = (float(f(jnp.asarray(up))) - float(f(jnp.asarray(dn)))) / (
+            2 * eps
+        )
+        np.testing.assert_allclose(
+            g[k], fd, rtol=0.08, atol=2e-4,
+            err_msg=f"init_v[{k}] gradient mismatch",
+        )
+
+    # And a LoRA leaf: gradient of the loss wrt one lora_b entry.
+    pe_l = scene.elasticity.init_lora(
+        pe, jax.random.PRNGKey(5), r=2, alpha=2
+    )
+    pp_l = scene.plasticity.init_lora(
+        pp, jax.random.PRNGKey(6), r=2, alpha=2
+    )
+
+    def f2(val):
+        p = jax.tree_util.tree_map(lambda x: x, pe_l)
+        b = p["final"]["lora_b"].at[0, 0].set(val)
+        p = {**p, "final": {**p["final"], "lora_b": b}}
+        return loss_fn(p, pp_l, iv0, weights)
+
+    g_l = float(jax.grad(f2)(jnp.float32(0.01)))
+    fd_l = (float(f2(jnp.float32(0.01 + eps)))
+            - float(f2(jnp.float32(0.01 - eps)))) / (2 * eps)
+    if abs(fd_l) > 1e-6:
+        np.testing.assert_allclose(g_l, fd_l, rtol=0.1, atol=1e-5)
