@@ -104,6 +104,9 @@ def _parse_value(v):
 
 def load_config(path, overrides: Optional[List[str]] = None) -> Config:
     """Load YAML; apply ``key.path=value`` overrides."""
+    path = Path(path)
+    if not path.is_file():
+        raise SystemExit(f"error: config file not found: {path}")
     with open(path) as f:
         cfg = Config(yaml.safe_load(f))
     for ov in overrides or []:

@@ -255,6 +255,7 @@ def test_full_pipeline_gradient_finite_difference(rng):
     weights = jnp.ones(scene.num_frames, jnp.float32)
     pe, pp = scene.elasticity_params, scene.plasticity_params
 
+    @jax.jit
     def f(iv):
         return loss_fn(pe, pp, iv, weights)
 
@@ -283,6 +284,7 @@ def test_full_pipeline_gradient_finite_difference(rng):
         pp, jax.random.PRNGKey(6), r=2, alpha=2
     )
 
+    @jax.jit
     def f2(val):
         p = jax.tree_util.tree_map(lambda x: x, pe_l)
         b = p["final"]["lora_b"].at[0, 0].set(val)
