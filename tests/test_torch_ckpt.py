@@ -158,3 +158,18 @@ def test_train_state_roundtrip(tmp_path, rng):
 
     rows = [json.loads(l) for l in open(log_path)]
     assert rows[0]["loss"] == 0.5 and rows[1]["step"] == 2
+
+
+def test_phase_timer(rng):
+    from neuma_tpu.utils.profiling import PhaseTimer
+
+    timer = PhaseTimer()
+    x = jnp.asarray(rng.standard_normal((64, 64)), jnp.float32)
+    with timer.phase("matmul", out=None):
+        y = x @ x
+    with timer.phase("matmul", out=y):
+        y = y @ x
+    rep = timer.report()
+    assert "matmul" in rep and "x2" in rep
+    timer.reset()
+    assert not timer.totals
