@@ -294,18 +294,22 @@ def _build_aligned_pairs(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned).astype(jnp.int32)]
     )
 
-    # slot -> tile mapping, again scatter + cummax instead of
-    # searchsorted. Aligned tile starts are unique EXCEPT empty tiles
-    # (aligned count 0) which share the next tile's start — route those
-    # to the dummy slot; runs of empties resolve to the next non-empty
-    # tile, whose count test then masks them out.
+    # slot -> tile mapping via scatter + cummax run-fill. Tile ranges are
+    # CHUNK-aligned, so the fill runs at BLOCK granularity (P/CHUNK
+    # elements) and expands with a cheap gather. Empty tiles (aligned
+    # count 0) share the next tile's start — route them to the dummy
+    # slot; runs of empties resolve to the next non-empty tile, whose
+    # count test then masks them out.
     P = cfg.max_pairs + CHUNK * num_tiles
     pos = jnp.arange(P, dtype=jnp.int32)
-    t_scatter = jnp.where(aligned > 0, tile_start[:-1], P)
-    t_marks = jnp.zeros(P + 1, jnp.int32).at[t_scatter].max(
+    num_blocks = P // CHUNK
+    blk_of_tile = tile_start[:-1] // CHUNK
+    b_scatter = jnp.where(aligned > 0, blk_of_tile, num_blocks)
+    b_marks = jnp.zeros(num_blocks + 1, jnp.int32).at[b_scatter].max(
         jnp.arange(num_tiles, dtype=jnp.int32)
-    )[:P]
-    tile_of = jax.lax.cummax(t_marks)
+    )[:num_blocks]
+    tile_of_block = jax.lax.cummax(b_marks)
+    tile_of = tile_of_block[pos // CHUNK]
     slot = pos - tile_start[tile_of]
     in_tile = (slot >= 0) & (slot < counts[tile_of]) & (
         pos < tile_start[-1]
