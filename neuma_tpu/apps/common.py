@@ -93,9 +93,22 @@ def run_data_preparation(cfg: Config, data_root: Path) -> None:
             max_particles=cfg.gaussian.max_particles,
         )
     else:
-        raise ValueError(
-            "Either 'particles_path' or 'mesh_path' must be provided."
-        )
+        # No particle source: the assets folder must already be prepared
+        # (the reference's inference.py:165-190 demo path skips prep the
+        # same way and loads kernels/particles/bindings from the assets
+        # dir populated by a download or an earlier finetune run).
+        missing = [
+            f
+            for f in ("kernels.ply", "particles.ply", "bindings.npz")
+            if not (data_root / f).is_file()
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"No 'particles_path'/'mesh_path' in the config and the "
+                f"assets dir {data_root} is missing {missing}; either "
+                f"point the config at a particle source or pre-populate "
+                f"the prepared assets."
+            )
 
 
 def build_materials(cfg: Config):

@@ -44,7 +44,7 @@ from ..render.binding import (
     deform_cov_by_F,
 )
 from ..render.gaussians import GaussianPack
-from ..render.rasterize import RasterConfig, rasterize
+from ..render.rasterize import RasterConfig, rasterize_with_aux
 from ..render.transforms import transform_gaussians
 from ..sim.initializers import MPMInitData, build_initial_state, build_statics
 from ..sim.mpm import mpm_step
@@ -239,11 +239,23 @@ def main(argv=None):
         return dataclasses.replace(new, F=F)
 
     render_jit = jax.jit(
-        lambda m, c, cam: rasterize(
+        lambda m, c, cam: rasterize_with_aux(
             m, c, opac, cam, background, shs=shs, sh_degree=sh_degree,
             cfg=rcfg,
         )
     )
+    warned_overflow = [False]
+
+    def render_checked(m, c, cam, where):
+        img, aux = render_jit(m, c, cam)
+        if not warned_overflow[0] and bool(aux["overflow"]):
+            warned_overflow[0] = True
+            print(
+                f"WARNING: raster pair budget exceeded at {where}; "
+                "pairs were dropped and the image is wrong - raise "
+                "raster.max_pairs/max_per_tile in the config."
+            )
+        return img
 
     from PIL import Image
 
@@ -257,7 +269,7 @@ def main(argv=None):
     first_means = jnp.concatenate([p.xyz for p in packs])
     for view in views:
         save_img(
-            render_jit(first_means, cov0, cameras[view]),
+            render_checked(first_means, cov0, cameras[view], "frame 0"),
             image_root / f"{view}_{0:03d}.png",
         )
 
@@ -307,7 +319,9 @@ def main(argv=None):
 
         for view in views:
             save_img(
-                render_jit(means3d, cov_def, cameras[view]),
+                render_checked(
+                    means3d, cov_def, cameras[view], f"step {step}"
+                ),
                 image_root / f"{view}_{step:03d}.png",
             )
         if args.save_particles:

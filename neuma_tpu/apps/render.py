@@ -28,7 +28,7 @@ from ..render.binding import (
     apply_binding_xyz,
     deform_cov_by_F,
 )
-from ..render.rasterize import rasterize
+from ..render.rasterize import rasterize_with_aux
 from ..sim.mpm import mpm_step
 from ..sim.rollout import denormalize_points
 from ..utils.config import load_config
@@ -162,18 +162,28 @@ def main(argv=None):
 
     def render_frame(means3d, cov_def, cam):
         if force_mask:
-            return rasterize(
+            return rasterize_with_aux(
                 means3d, cov_def, opacity, cam, background,
                 colors_precomp=jnp.ones((means3d.shape[0], 3)),
                 cfg=scene.raster_cfg,
             )
-        return rasterize(
+        return rasterize_with_aux(
             means3d, cov_def, opacity, cam, background,
             shs=shs, sh_degree=scene.gaussians.sh_degree,
             cfg=scene.raster_cfg,
         )
 
     render_frame = jax.jit(render_frame)
+    warned_overflow = [False]
+
+    def check_overflow(aux, where):
+        if not warned_overflow[0] and bool(aux["overflow"]):
+            warned_overflow[0] = True
+            print(
+                f"WARNING: raster pair budget exceeded at {where}; "
+                "pairs were dropped and the image is wrong — raise "
+                "raster.max_pairs/max_per_tile in the config."
+            )
 
     frames_dir = result_root / args.video_name
     frames_dir.mkdir(exist_ok=True)
@@ -198,7 +208,8 @@ def main(argv=None):
             cov0, apply_binding_F(scene.binding, state.F)
         )
         for view in views:
-            img = render_frame(means3d, cov_def, cameras[view])
+            img, aux = render_frame(means3d, cov_def, cameras[view])
+            check_overflow(aux, f"step {step} view {view}")
             arr = np.clip(
                 np.asarray(img).transpose(1, 2, 0) * 255, 0, 255
             ).astype(np.uint8)

@@ -69,6 +69,7 @@ def volumetric_sampling(
     radius = 1.0 / resolution * 0.5
 
     p = None
+    _ensure_native_sampler()
     if NATIVE_SAMPLER.is_file() and os.access(NATIVE_SAMPLER, os.X_OK):
         with tempfile.TemporaryDirectory(dir=work_dir) as td:
             obj = Path(td) / "temp.obj"
@@ -91,6 +92,32 @@ def volumetric_sampling(
 
     # undo normalization
     return (p - 0.5) * extent + center
+
+
+_native_build_attempted = False
+
+
+def _ensure_native_sampler() -> None:
+    """Build the C++ sampler on first use (the binary is not committed;
+    `make -C native/volume_sampler` produces it from source). Failures
+    are non-fatal — the Python HCP fallback covers the contract."""
+    global _native_build_attempted
+    if NATIVE_SAMPLER.is_file() or _native_build_attempted:
+        return
+    _native_build_attempted = True
+    makefile = NATIVE_SAMPLER.parent / "Makefile"
+    if not makefile.is_file():
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", str(NATIVE_SAMPLER.parent)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except (subprocess.SubprocessError, OSError) as e:
+        print(f"note: native volume sampler build failed ({e}); "
+              f"using the Python fallback")
 
 
 def _hcp_interior_points(mesh: TriMesh, radius: float) -> np.ndarray:

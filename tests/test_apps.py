@@ -11,18 +11,27 @@ import pytest
 import jax.numpy as jnp
 
 
-def make_synthetic_dataset(root: Path, rng, size=48, n_views=1, n_steps=3):
+def make_synthetic_dataset(
+    root: Path,
+    rng,
+    size=48,
+    n_views=1,
+    n_steps=3,
+    subfolder="data_dynamic",
+    views=None,
+):
     """Fabricated dataset honoring the reader contract
-    (dataset_readers.py:200-276): data_dynamic/<view>_<step:03d>.png +
-    data_dynamic.json with c2w (OpenGL) + intrinsic."""
+    (dataset_readers.py:200-276): <subfolder>/<view>_<step:03d>.png +
+    <subfolder>.json with c2w (OpenGL) + intrinsic."""
     from PIL import Image
 
     from neuma_tpu.render.camera import Camera, fov2focal
 
-    sub = root / "data_dynamic"
+    sub = root / subfolder
     sub.mkdir(parents=True)
     meta = []
-    views = [f"d_{i}" for i in range(n_views)]
+    if views is None:
+        views = [f"d_{i}" for i in range(n_views)]
     for vi, view in enumerate(views):
         eye = np.array([0.5 + 0.3 * vi, 0.55, -1.2])
         cam = Camera.look_at(
@@ -47,12 +56,12 @@ def make_synthetic_dataset(root: Path, rng, size=48, n_views=1, n_steps=3):
             Image.fromarray(img).save(sub / name)
             meta.append(
                 {
-                    "file_path": f"./data_dynamic/{name}",
+                    "file_path": f"./{subfolder}/{name}",
                     "c2w": c2w_gl.tolist(),
                     "intrinsic": intrinsic,
                 }
             )
-    with open(root / "data_dynamic.json", "w") as f:
+    with open(root / f"{subfolder}.json", "w") as f:
         json.dump(meta, f)
     return views
 
@@ -132,7 +141,7 @@ def write_config(root, kernels_path, mesh_path, data_path, views):
             "mesh_sample_mode": "uniform",
             "mesh_sample_resolution": 10,
         },
-        "raster": {"max_pairs": 8192, "max_per_tile": 64, "segment": 16},
+        "raster": {"max_pairs": 8192, "max_per_tile": 256, "segment": 16},
         "constitution": {
             "elasticity": {
                 "layer_widths": [16, 16],
