@@ -130,9 +130,13 @@ class GaussianPack:
         )
         # PLY stores (C, coeff) flattened; model uses (coeff, C)
         # (reference load_ply reshape + transpose, gaussian_model.py:243-263).
-        rest = np.stack([d[k] for k in rest_names], axis=1).reshape(
-            n, 3, (sh_degree + 1) ** 2 - 1
-        ).transpose(0, 2, 1)
+        # sh_degree 0 (the whole realworld family) has no f_rest fields.
+        if n_rest == 0:
+            rest = np.zeros((n, 0, 3), np.float32)
+        else:
+            rest = np.stack([d[k] for k in rest_names], axis=1).reshape(
+                n, 3, (sh_degree + 1) ** 2 - 1
+            ).transpose(0, 2, 1)
         scale_names = sorted(
             (k for k in d if k.startswith("scale_")),
             key=lambda s: int(s.split("_")[-1]),
