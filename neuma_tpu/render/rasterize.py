@@ -40,6 +40,23 @@ from .gaussians import unstrip_symmetric
 TILE = 16
 
 
+@jax.custom_jvp
+def _cap_alpha(a):
+    """alpha = min(0.99, a) with the CUDA backward quirk: the cap is
+    ignored in the chain (renderCUDA's backward multiplies by G/op as if
+    uncapped), so the gradient passes straight through even above 0.99.
+    The Pallas backward replicates the same quirk (pallas_raster.py
+    "CUDA quirk" branch); this keeps both backends' gradients identical
+    in the saturated-opacity regime."""
+    return jnp.minimum(0.99, a)
+
+
+@_cap_alpha.defjvp
+def _cap_alpha_jvp(primals, tangents):
+    (a,), (da,) = primals, tangents
+    return jnp.minimum(0.99, a), da
+
+
 @dataclasses.dataclass(frozen=True)
 class RasterConfig:
     """Static rasterization bounds (set per scene/workload)."""
@@ -149,6 +166,37 @@ def _sh_colors(
     return jnp.maximum(rgb + 0.5, 0.0)
 
 
+def _sort_pairs_by_tile(tile_id, gid_c, num_tiles, max_pairs):
+    """Stable sort of the pair list by tile id.
+
+    Pairs are generated in depth-rank order, so a stable tile sort
+    yields per-tile depth order (the CUDA 64-bit radix sort semantics).
+    When (tile bits + pair bits) fit in a uint32, the stable sort-with-
+    payload is replaced by a SINGLE-key sort of packed
+    ``tile_id << bits_p | pair_idx`` keys — about half the sort traffic
+    on TPU (this sort is the pair-build hot spot).
+
+    Returns (sorted_tile, sorted_gid).
+    """
+    bits_p = max(int(max_pairs - 1).bit_length(), 1)
+    bits_t = max(int(num_tiles).bit_length(), 1)  # dummy id == num_tiles
+    pair_idx = jnp.arange(max_pairs, dtype=jnp.uint32)
+    if bits_p + bits_t <= 32:
+        key = (
+            tile_id.astype(jnp.uint32) << np.uint32(bits_p)
+        ) | pair_idx
+        (sorted_key,) = jax.lax.sort((key,), num_keys=1)
+        pair_order = (
+            sorted_key & jnp.uint32((1 << bits_p) - 1)
+        ).astype(jnp.int32)
+        sorted_tile = (sorted_key >> np.uint32(bits_p)).astype(jnp.int32)
+    else:
+        pair_order = jnp.argsort(tile_id, stable=True)
+        sorted_tile = tile_id[pair_order]
+    sorted_gid = gid_c[pair_order]
+    return sorted_tile, sorted_gid
+
+
 def _tile_ranges(mean2d, radius, width, height):
     """Tile rect per gaussian (inclusive-exclusive), CUDA ``getRect``."""
     tiles_x = (width + TILE - 1) // TILE
@@ -174,9 +222,10 @@ def _build_tile_lists(
     """Static-size duplicate-expand + sort: produces a (num_tiles,
     max_per_tile) matrix of gaussian indices in depth order (padding = -1).
 
-    All shapes are static; overflow beyond max_pairs / max_per_tile is
-    silently dropped (choose bounds generously; the training wrapper
-    asserts occupancy in debug runs)."""
+    All shapes are static; pairs beyond max_pairs / max_per_tile are
+    dropped, and the returned ``overflow`` flag reports when that
+    happened so callers can fail loudly instead of training on wrong
+    gradients (see ``rasterize_with_aux``)."""
     n = depth.shape[0]
     x0, y0, x1, y1, tiles_x, tiles_y = _tile_ranges(
         mean2d, radius, width, height
@@ -208,13 +257,9 @@ def _build_tile_lists(
     tile_y = y0s[gid_c] + (k // tw)
     tile_id = jnp.where(valid_pair, tile_y * tiles_x + tile_x, num_tiles)
 
-    # Sort pairs by (tile, depth rank). Pairs are generated in depth-rank
-    # order (gid is monotone in pair_idx), so a single STABLE sort by tile
-    # id yields per-tile depth order — same result as the CUDA 64-bit
-    # (tile | depth) radix sort without needing 64-bit keys.
-    pair_order = jnp.argsort(tile_id, stable=True)
-    sorted_tile = tile_id[pair_order]
-    sorted_gid = gid_c[pair_order]
+    sorted_tile, sorted_gid = _sort_pairs_by_tile(
+        tile_id, gid_c, num_tiles, cfg.max_pairs
+    )
 
     # Per-tile ranges; the sorted pair array IS the concatenation of
     # per-tile depth-ordered lists, so the padded matrix is a pure GATHER
@@ -230,7 +275,10 @@ def _build_tile_lists(
     gid_mat = sorted_gid[jnp.clip(pos, 0, cfg.max_pairs - 1)]
     # Map back from sorted-gaussian rank to original index.
     tile_mat = jnp.where(in_range, order[gid_mat], -1)
-    return tile_mat, tiles_x, tiles_y
+    overflow = (offsets[-1] > cfg.max_pairs) | jnp.any(
+        counts > cfg.max_per_tile
+    )
+    return tile_mat, tiles_x, tiles_y, overflow
 
 
 def _build_aligned_pairs(
@@ -278,9 +326,9 @@ def _build_aligned_pairs(
     tile_y = y0s[gid_c] + (k // tw)
     tile_id = jnp.where(valid_pair, tile_y * tiles_x + tile_x, num_tiles)
 
-    pair_order = jnp.argsort(tile_id, stable=True)
-    sorted_tile = tile_id[pair_order]
-    sorted_gid = gid_c[pair_order]
+    sorted_tile, sorted_gid = _sort_pairs_by_tile(
+        tile_id, gid_c, num_tiles, cfg.max_pairs
+    )
 
     raw_start = jnp.searchsorted(
         sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32),
@@ -323,7 +371,8 @@ def _build_aligned_pairs(
     pair_gid = checkpoint_name(pair_gid, "raster_pairs")
     in_tile = checkpoint_name(in_tile, "raster_pairs")
     tile_start = checkpoint_name(tile_start, "raster_pairs")
-    return pair_gid, in_tile, tile_start, tiles_x, tiles_y
+    overflow = offsets[-1] > cfg.max_pairs
+    return pair_gid, in_tile, tile_start, tiles_x, tiles_y, overflow
 
 
 def _composite(
@@ -355,9 +404,17 @@ def _composite(
     pix = jnp.stack([pix_x, pix_y], axis=-1).astype(jnp.float32)
 
     S = tile_mat.shape[1]
-    n_seg = (S + cfg.segment - 1) // cfg.segment
-    seg = cfg.segment
-    seg_ids = tile_mat[:, : n_seg * seg].reshape(
+    seg = min(cfg.segment, S)
+    n_seg = (S + seg - 1) // seg
+    if n_seg * seg != S:  # pad the slot axis with -1 (dead slots)
+        tile_mat = jnp.concatenate(
+            [
+                tile_mat,
+                jnp.full((num_tiles, n_seg * seg - S), -1, tile_mat.dtype),
+            ],
+            axis=1,
+        )
+    seg_ids = tile_mat.reshape(
         num_tiles, n_seg, seg
     ).transpose(1, 0, 2)  # (n_seg, num_tiles, seg)
 
@@ -390,7 +447,7 @@ def _composite(
             )
             - con[:, :, None, 1] * d[..., 0] * d[..., 1]
         )
-        alpha = jnp.minimum(0.99, op[:, :, None] * jnp.exp(power))
+        alpha = _cap_alpha(op[:, :, None] * jnp.exp(power))
         valid = live & (power <= 0.0) & (alpha >= (1.0 / 255.0))
         alpha_eff = jnp.where(valid, alpha, 0.0)  # (tiles, seg, 256)
 
@@ -430,7 +487,37 @@ def rasterize(
     sh_degree: int = 3,
     cfg: RasterConfig = RasterConfig(),
 ) -> jnp.ndarray:
-    """Render (3, H, W) image.
+    """``rasterize_with_aux`` without the aux (see below)."""
+    img, _ = rasterize_with_aux(
+        means3d,
+        cov3d,
+        opacity,
+        camera,
+        bg_color,
+        shs=shs,
+        colors_precomp=colors_precomp,
+        sh_degree=sh_degree,
+        cfg=cfg,
+    )
+    return img
+
+
+def rasterize_with_aux(
+    means3d: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    opacity: jnp.ndarray,
+    camera: Camera,
+    bg_color: jnp.ndarray,
+    shs: Optional[jnp.ndarray] = None,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    sh_degree: int = 3,
+    cfg: RasterConfig = RasterConfig(),
+) -> Tuple[jnp.ndarray, dict]:
+    """Render (3, H, W) image; aux carries ``overflow`` — a traced bool
+    that fires when the scene exceeded the static ``max_pairs`` /
+    ``max_per_tile`` budget and pairs were dropped (the image and its
+    gradients are then wrong; training wrappers raise on it, forward
+    apps warn).
 
     Args:
         means3d: (N, 3) world-space means.
@@ -455,7 +542,7 @@ def rasterize(
 
     backend = cfg.resolve_backend()
     if backend == "jnp":
-        tile_mat, tiles_x, tiles_y = _build_tile_lists(
+        tile_mat, tiles_x, tiles_y, overflow = _build_tile_lists(
             depth, visible, mean2d, radius, camera.width, camera.height,
             cfg,
         )
@@ -475,7 +562,7 @@ def rasterize(
         from .pallas_raster import PIX, composite_pairs_tpu
 
         (
-            pair_gid, pair_valid, tile_start, tiles_x, tiles_y,
+            pair_gid, pair_valid, tile_start, tiles_x, tiles_y, overflow,
         ) = _build_aligned_pairs(
             depth, visible, mean2d, radius, camera.width, camera.height,
             cfg,
@@ -510,4 +597,4 @@ def rasterize(
     img = img.transpose(4, 0, 2, 1, 3).reshape(
         3, tiles_y * TILE, tiles_x * TILE
     )
-    return img[:, : camera.height, : camera.width]
+    return img[:, : camera.height, : camera.width], {"overflow": overflow}

@@ -35,7 +35,7 @@ from ..render.binding import (
 )
 from ..render.camera import Camera
 from ..render.gaussians import GaussianPack
-from ..render.rasterize import RasterConfig, rasterize
+from ..render.rasterize import RasterConfig, rasterize_with_aux
 from ..sim.mpm import mpm_step_diff
 from ..sim.rollout import denormalize_points
 from .losses import l1_loss, l2_loss
@@ -68,6 +68,12 @@ class GroundingScene:
     scaling_modifier: float = 1.0
     raster_cfg: RasterConfig = dataclasses.field(default_factory=RasterConfig)
     exclude_frames: Sequence[int] = ()
+    # Optional SPMD annotations: when ``mesh`` is set, particle arrays
+    # are constrained to ``particle_axis`` and the vmapped view axis of
+    # the rasterizer to ``view_axis`` (2-axis mesh: dp x vp).
+    mesh: Optional[object] = None
+    particle_axis: Optional[str] = None
+    view_axis: Optional[str] = None
 
     @property
     def num_frames(self) -> int:
@@ -103,7 +109,7 @@ def make_rollout_loss(scene: GroundingScene) -> Callable:
 
     def render_one(cam, means3d, cov_def):
         if scene.force_mask_data:
-            return rasterize(
+            img, aux = rasterize_with_aux(
                 means3d,
                 cov_def,
                 opacity,
@@ -114,15 +120,35 @@ def make_rollout_loss(scene: GroundingScene) -> Callable:
                 ),
                 cfg=scene.raster_cfg,
             )
-        return rasterize(
-            means3d,
-            cov_def,
-            opacity,
-            cam,
-            scene.background,
-            shs=shs,
-            sh_degree=sh_degree,
-            cfg=scene.raster_cfg,
+        else:
+            img, aux = rasterize_with_aux(
+                means3d,
+                cov_def,
+                opacity,
+                cam,
+                scene.background,
+                shs=shs,
+                sh_degree=sh_degree,
+                cfg=scene.raster_cfg,
+            )
+        return img, aux["overflow"]
+
+    # SPMD constraint helpers (no-ops without a mesh).
+    def constrain(x, *axes):
+        if scene.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = PartitionSpec(*axes)
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(scene.mesh, spec)
+        )
+
+    def constrain_particles(tree):
+        if scene.mesh is None or scene.particle_axis is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: constrain(x, scene.particle_axis), tree
         )
 
     cams = list(scene.cameras)
@@ -148,13 +174,18 @@ def make_rollout_loss(scene: GroundingScene) -> Callable:
                 )
                 return render_one(cam, means3d, cov_def)
 
-            return jax.vmap(one)(cam_wv, cam_fp, cam_cc)
+            imgs, ovf = jax.vmap(one)(cam_wv, cam_fp, cam_cc)
+            if scene.view_axis is not None:
+                imgs = constrain(imgs, scene.view_axis)
+            return imgs, jnp.any(ovf)
 
     else:
 
         def render_views(means3d, cov_def):
-            return jnp.stack(
-                [render_one(cam, means3d, cov_def) for cam in cams]
+            pairs = [render_one(cam, means3d, cov_def) for cam in cams]
+            return (
+                jnp.stack([p[0] for p in pairs]),
+                jnp.any(jnp.stack([p[1] for p in pairs])),
             )
 
     def loss_fn(params_e, params_p, init_v, frame_weights):
@@ -178,13 +209,14 @@ def make_rollout_loss(scene: GroundingScene) -> Callable:
             state, _ = jax.lax.scan(
                 sub, state, None, length=scene.substeps
             )
+            state = constrain_particles(state)
 
             de_x = denormalize_points(state.x, scene.size, scene.center)
             means3d = apply_binding_xyz(table, de_x, de_x_prev, g_prev)
             F_k = apply_binding_F(table, state.F)
             cov_def = deform_cov_by_F(cov0, F_k)  # stop-grad (reference)
 
-            imgs = render_views(means3d, cov_def)
+            imgs, overflow = render_views(means3d, cov_def)
             frame_loss = pixel_loss(imgs, gt_frame) * gt_frame.shape[0]
 
             # Excluded frames contribute no loss and keep prev refs
@@ -196,19 +228,22 @@ def make_rollout_loss(scene: GroundingScene) -> Callable:
             new_prev_g = jax.lax.stop_gradient(
                 keep * means3d + is_excluded * g_prev
             )
-            return (state, new_prev_x, new_prev_g), weight * keep * frame_loss
+            return (
+                (state, new_prev_x, new_prev_g),
+                (weight * keep * frame_loss, overflow),
+            )
 
         # Per-frame remat, but SAVE the rasterizer's integer pair layout
         # (~1MB/frame) so the sorts/binning don't run again in backward.
         policy = jax.checkpoint_policies.save_only_these_names(
             "raster_pairs"
         )
-        (state, _, _), frame_losses = jax.lax.scan(
+        (state, _, _), (frame_losses, overflows) = jax.lax.scan(
             jax.checkpoint(frame_body, policy=policy),
             carry,
             (scene.gt_images, frame_weights, excluded),
         )
-        return jnp.sum(frame_losses)
+        return jnp.sum(frame_losses), jnp.any(overflows)
 
     return loss_fn
 
@@ -273,7 +308,7 @@ def optimize_init_velocity(
     @jax.jit
     def epoch_step(init_v, opt_state, reg_weight):
         def total_loss(iv):
-            loss_rgb = loss_fn(params_e, params_p, iv, weights)
+            loss_rgb, overflow = loss_fn(params_e, params_p, iv, weights)
             if reg_all:
                 reg = jnp.mean(jnp.abs(iv))
             else:
@@ -282,14 +317,14 @@ def optimize_init_velocity(
                     jnp.mean(jnp.abs(ivr[:, 0]))
                     + jnp.mean(jnp.abs(ivr[:, 2]))
                 ) / 2.0
-            return loss_rgb + reg_weight * reg, loss_rgb
+            return loss_rgb + reg_weight * reg, (loss_rgb, overflow)
 
-        (loss, loss_rgb), g = jax.value_and_grad(
+        (loss, (loss_rgb, overflow)), g = jax.value_and_grad(
             total_loss, has_aux=True
         )(init_v)
         updates, opt_state = opt.update(g, opt_state, init_v)
         init_v = optax.apply_updates(init_v, updates)
-        return init_v, opt_state, loss, loss_rgb
+        return init_v, opt_state, loss, loss_rgb, overflow
 
     losses = []
     warmup_gate = int(0.1 * num_epochs)
@@ -299,9 +334,15 @@ def optimize_init_velocity(
             if (lambda_reg is not None and epoch > warmup_gate)
             else 0.0
         )
-        init_v, opt_state, loss, loss_rgb = epoch_step(
+        init_v, opt_state, loss, loss_rgb, overflow = epoch_step(
             init_v, opt_state, jnp.float32(reg_w)
         )
+        if bool(overflow):
+            raise PairBudgetOverflowError(
+                f"raster pair budget exceeded at velocity epoch {epoch}: "
+                f"raise raster.max_pairs/max_per_tile (pairs were dropped "
+                f"— the rendered image and its gradients are wrong)"
+            )
         losses.append(float(loss))
         if log_fn:
             log_fn(epoch, float(loss), float(loss_rgb), np.asarray(init_v))
@@ -324,6 +365,13 @@ class ConstitutiveStageResult:
 class NonFiniteGradientError(RuntimeError):
     """Raised when clip_grad_norm detects a non-finite gradient (the
     reference prints per-param norms and exits, finetune.py:429-444)."""
+
+
+class PairBudgetOverflowError(RuntimeError):
+    """Raised when a rendered frame exceeded the static raster pair
+    budget (``RasterConfig.max_pairs`` / ``max_per_tile``): pairs were
+    dropped, so the image — and every gradient flowing through it — is
+    wrong. The fix is a larger budget, not a smaller loss."""
 
 
 def finetune_constitutive(
@@ -395,9 +443,9 @@ def finetune_constitutive(
         def total(pe, pp):
             return loss_fn(pe, pp, init_v, weights)
 
-        loss, (ge, gp) = jax.value_and_grad(total, argnums=(0, 1))(
-            params_e, params_p
-        )
+        (loss, overflow), (ge, gp) = jax.value_and_grad(
+            total, argnums=(0, 1), has_aux=True
+        )(params_e, params_p)
         ge, e_norm, e_bad = clip_by_global_norm_strict(ge, e_max_norm)
         gp, p_norm, p_bad = clip_by_global_norm_strict(gp, p_max_norm)
         e_updates, e_state = e_opt.update(ge, e_state, params_e)
@@ -413,6 +461,7 @@ def finetune_constitutive(
             e_norm,
             p_norm,
             e_bad | p_bad,
+            overflow,
         )
 
     losses, e_norms, p_norms = [], [], []
@@ -427,6 +476,7 @@ def finetune_constitutive(
             e_norm,
             p_norm,
             bad,
+            overflow,
         ) = epoch_step(
             params_e, params_p, e_state, p_state, jnp.float32(decay_rate)
         )
@@ -435,6 +485,12 @@ def finetune_constitutive(
                 f"non-finite gradient at epoch {epoch}: "
                 f"loss={float(loss):.7f} e_norm={float(e_norm)} "
                 f"p_norm={float(p_norm)}"
+            )
+        if bool(overflow):
+            raise PairBudgetOverflowError(
+                f"raster pair budget exceeded at constitutive epoch "
+                f"{epoch}: raise raster.max_pairs/max_per_tile (pairs "
+                f"were dropped — gradients are wrong)"
             )
         losses.append(float(loss))
         e_norms.append(float(e_norm))

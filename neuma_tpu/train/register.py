@@ -21,7 +21,7 @@ import optax
 from ..ops.rotation import euler_to_rotmat, rot6d_to_rotmat, rotmat_to_rot6d
 from ..render.camera import Camera
 from ..render.gaussians import GaussianPack
-from ..render.rasterize import RasterConfig, rasterize
+from ..render.rasterize import RasterConfig, rasterize_with_aux
 from ..render.transforms import transform_gaussians
 from .losses import l1_loss, ssim
 from .optim import radam
@@ -118,8 +118,9 @@ def register_gaussians(
         moved = apply_sim3(params, pack)
         cov = moved.get_covariance()
         loss = 0.0
+        overflow = jnp.bool_(False)
         for cam, gt in zip(cameras, gt_images):
-            img = rasterize(
+            img, aux = rasterize_with_aux(
                 moved.xyz,
                 cov,
                 opacity,
@@ -129,21 +130,31 @@ def register_gaussians(
                 sh_degree=sh_degree,
                 cfg=raster_cfg,
             )
+            overflow = overflow | aux["overflow"]
             loss = loss + l1_loss(img, gt)
             if cfg.lambda_dssim > 0:
                 loss = loss + cfg.lambda_dssim * (1.0 - ssim(img, gt))
-        return loss
+        return loss, overflow
 
     @jax.jit
     def step(params, opt_state):
-        loss, g = jax.value_and_grad(loss_fn)(params)
+        (loss, overflow), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
         updates, opt_state = opt.update(g, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return params, opt_state, loss, overflow
 
     losses = []
     for it in range(1, cfg.iterations + 1):
-        params, opt_state, loss = step(params, opt_state)
+        params, opt_state, loss, overflow = step(params, opt_state)
+        if (it == 1 or it % log_every == 0) and bool(overflow):
+            from .grounding import PairBudgetOverflowError
+
+            raise PairBudgetOverflowError(
+                f"raster pair budget exceeded at registration iter {it}:"
+                " raise raster.max_pairs/max_per_tile"
+            )
         if it % log_every == 0 or it == cfg.iterations:
             losses.append(float(loss))
             if log_fn:

@@ -87,7 +87,7 @@ def build_scene(rng, n=200, g=16, frames=4, substeps=2, material="analytic"):
             height=64,
         ),
     ]
-    raster_cfg = RasterConfig(max_pairs=16384, max_per_tile=128, segment=16)
+    raster_cfg = RasterConfig(max_pairs=16384, max_per_tile=512, segment=16)
 
     scene = GroundingScene(
         constants=constants,
@@ -257,7 +257,7 @@ def test_full_pipeline_gradient_finite_difference(rng):
 
     @jax.jit
     def f(iv):
-        return loss_fn(pe, pp, iv, weights)
+        return loss_fn(pe, pp, iv, weights)[0]
 
     iv0 = jnp.asarray([0.1, -0.05, 0.02], jnp.float32)
     g = np.asarray(jax.grad(f)(iv0))
@@ -289,7 +289,7 @@ def test_full_pipeline_gradient_finite_difference(rng):
         p = jax.tree_util.tree_map(lambda x: x, pe_l)
         b = p["final"]["lora_b"].at[0, 0].set(val)
         p = {**p, "final": {**p["final"], "lora_b": b}}
-        return loss_fn(p, pp_l, iv0, weights)
+        return loss_fn(p, pp_l, iv0, weights)[0]
 
     g_l = float(jax.grad(f2)(jnp.float32(0.01)))
     fd_l = (float(f2(jnp.float32(0.01 + eps)))

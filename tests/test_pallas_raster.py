@@ -103,3 +103,43 @@ def test_pallas_empty_scene(rng):
     )
     expected = np.broadcast_to(np.asarray(bg)[:, None, None], (3, 32, 32))
     np.testing.assert_allclose(np.asarray(img), expected, atol=1e-6)
+
+
+def test_gradients_match_in_capped_alpha_regime(rng):
+    """Both backends must implement the CUDA cap-backward quirk (cap
+    ignored in the chain), so their gradients agree even when
+    op * exp(power) > 0.99 (saturated opacity)."""
+    means3d, cov, opacity, colors, cam = make_scene(rng, n=12, size=32)
+    opacity = jnp.full_like(opacity, 0.9995)  # deep in the capped regime
+    bg = jnp.zeros(3)
+    target = jnp.full((3, 32, 32), 0.3)
+    cfg_jnp = RasterConfig(
+        max_pairs=4096, max_per_tile=32, segment=8, backend="jnp"
+    )
+    cfg_pl = dataclasses.replace(cfg_jnp, backend="pallas_interpret")
+
+    def loss(cfg):
+        def f(m, o, col):
+            img = rasterize(
+                m, cov, o, cam, bg, colors_precomp=col, cfg=cfg
+            )
+            return jnp.mean((img - target) ** 2)
+
+        return f
+
+    g_jnp = jax.grad(loss(cfg_jnp), argnums=(0, 1, 2))(
+        means3d, opacity, colors
+    )
+    g_pl = jax.grad(loss(cfg_pl), argnums=(0, 1, 2))(
+        means3d, opacity, colors
+    )
+    # The opacity gradient is nonzero through the capped alphas (the
+    # quirk); jnp.minimum semantics would zero it.
+    assert np.abs(np.asarray(g_jnp[1])).max() > 0
+    for a, b, name in zip(g_jnp, g_pl, ("means3d", "opacity", "colors")):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.maximum(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(
+            b, a, atol=5e-3 * denom, rtol=2e-2,
+            err_msg=f"capped-alpha gradient mismatch: {name}",
+        )

@@ -178,3 +178,45 @@ def test_background_compositing(rng):
         np.asarray(bg)[:, None, None], (3, 32, 32)
     )
     np.testing.assert_allclose(np.asarray(img), expected, atol=1e-6)
+
+
+def test_pair_budget_overflow_signal(rng):
+    """A scene exceeding a deliberately tiny pair budget must raise the
+    overflow flag (both builders); a generous budget must not."""
+    from neuma_tpu.render.rasterize import rasterize_with_aux
+
+    means3d, cov, opacity, colors, cam = make_scene(rng, n=60)
+    bg = jnp.zeros(3)
+    for backend in ("jnp", "pallas_interpret"):
+        # (max_pairs must stay a CHUNK=32 multiple for the pallas layout)
+        tiny = RasterConfig(
+            max_pairs=32, max_per_tile=8, backend=backend
+        )
+        _, aux = jax.jit(
+            lambda m, c, o: rasterize_with_aux(
+                m, c, o, cam, bg, colors_precomp=colors, cfg=tiny
+            )
+        )(means3d, cov, opacity)
+        assert bool(aux["overflow"]), backend
+        big = RasterConfig(
+            max_pairs=65536, max_per_tile=256, backend=backend
+        )
+        _, aux = jax.jit(
+            lambda m, c, o: rasterize_with_aux(
+                m, c, o, cam, bg, colors_precomp=colors, cfg=big
+            )
+        )(means3d, cov, opacity)
+        assert not bool(aux["overflow"]), backend
+
+
+def test_per_tile_depth_overflow_signal(rng):
+    """max_per_tile overflow alone (jnp backend) also fires."""
+    from neuma_tpu.render.rasterize import rasterize_with_aux
+
+    means3d, cov, opacity, colors, cam = make_scene(rng, n=60)
+    cfg = RasterConfig(max_pairs=65536, max_per_tile=2, backend="jnp")
+    _, aux = rasterize_with_aux(
+        means3d, cov, opacity, cam, jnp.zeros(3),
+        colors_precomp=colors, cfg=cfg,
+    )
+    assert bool(aux["overflow"])

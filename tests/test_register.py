@@ -39,7 +39,7 @@ def test_register_recovers_transform(rng):
         )
         for e in ([0, 0.1, -1.5], [-1.5, 0.1, 0.0], [0.9, 1.2, 0.9])
     ]
-    rcfg = RasterConfig(max_pairs=8192, max_per_tile=64, segment=16)
+    rcfg = RasterConfig(max_pairs=8192, max_per_tile=256, segment=16)
     bg = jnp.ones(3)
     gt = jnp.stack(
         [
