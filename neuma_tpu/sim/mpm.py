@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -128,13 +128,24 @@ def p2g_scatter(
     return grid_m, grid_mv
 
 
-def _axis_weights(constants: MPMConstants, x: jnp.ndarray):
+def _axis_weights(
+    constants: MPMConstants,
+    x: jnp.ndarray,
+    region: Optional[Tuple[Tuple[int, int], ...]] = None,
+):
     """Per-axis dense quadratic B-spline weight matrices.
 
-    Returns (W, Wi): lists of 3 arrays (N, G) each — W[a][p, c] is the
-    axis-a spline weight of particle p at grid line c, and Wi[a] the same
-    weighted by the LOCAL tap offset i in {0,1,2} (used to reconstruct
-    the affine term's offset dependence).
+    Returns (W, Wi): lists of 3 arrays (N, S_a) each — W[a][p, c] is the
+    axis-a spline weight of particle p at LOCAL grid line c, and Wi[a]
+    the same weighted by the LOCAL tap offset i in {0,1,2} (used to
+    reconstruct the affine term's offset dependence).
+
+    ``region``: optional per-axis (lo, size) restricting the dense
+    coordinate range to global lines [lo, lo+size) — used by the
+    halo-exchange sharded step (parallel/halo.py), where each shard only
+    materializes its slab+halo. Taps whose (physically clamped) cell
+    falls outside the region are dropped; callers must size the region
+    to cover all taps of the particles they pass in.
     """
     g = constants.num_grids
     p_x = x * constants.inv_dx
@@ -147,17 +158,26 @@ def _axis_weights(constants: MPMConstants, x: jnp.ndarray):
         [0.5 * wa * wa, 0.75 - wb * wb, 0.5 * wc * wc], axis=-1
     )  # (N, 3 axes, 3 taps)
 
-    coords = jnp.arange(g, dtype=jnp.int32)  # (G,)
+    if region is None:
+        region = (((0, g),) * 3)
+
     W, Wi = [], []
     for a in range(3):
-        rel = coords[None, :] - base[:, a : a + 1]  # (N, G) in {.., 0,1,2, ..}
-        tap0 = (rel == 0).astype(x.dtype)
-        tap1 = (rel == 1).astype(x.dtype)
-        tap2 = (rel == 2).astype(x.dtype)
-        Wa = (
-            w[:, a, 0:1] * tap0 + w[:, a, 1:2] * tap1 + w[:, a, 2:3] * tap2
-        )
-        Wia = w[:, a, 1:2] * tap1 + 2.0 * w[:, a, 2:3] * tap2
+        lo, size = region[a]
+        coords = lo + jnp.arange(size, dtype=jnp.int32)  # (S,)
+        # Taps whose cell falls outside [0, G-1] are folded onto the edge
+        # grid line — the same index clamp as the scatter path
+        # (``_stencil``), so near-wall particles (clip_bound < 0.5)
+        # deposit identically on both paths. dpos keeps the UNCLAMPED
+        # local tap offset, also matching ``_stencil``.
+        Wa = jnp.zeros((x.shape[0], size), x.dtype)
+        Wia = jnp.zeros((x.shape[0], size), x.dtype)
+        for i in range(3):
+            ci = jnp.clip(base[:, a : a + 1] + i, 0, g - 1)  # (N, 1)
+            tap = (coords[None, :] == ci).astype(x.dtype)
+            Wa = Wa + w[:, a, i : i + 1] * tap
+            if i:
+                Wia = Wia + float(i) * w[:, a, i : i + 1] * tap
         W.append(Wa)
         Wi.append(Wia)
     return W, Wi, base, fx
@@ -169,6 +189,7 @@ def p2g_matmul(
     state: ParticleState,
     stress: jnp.ndarray,
     chunk: int = 16384,
+    region: Optional[Tuple[Tuple[int, int], ...]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Particle-to-grid as separable MXU matmuls (TPU fast path).
 
@@ -181,6 +202,9 @@ def p2g_matmul(
     transposes (no scatters anywhere, forward or backward).
     """
     g = constants.num_grids
+    if region is None:
+        region = ((0, g),) * 3
+    (_, sx), (_, sy), (_, sz) = region
     dtype = state.x.dtype
     n = state.x.shape[0]
     mass = statics.vol * statics.rho * statics.enabled.astype(dtype)
@@ -190,7 +214,7 @@ def p2g_matmul(
     )[:, None, None] * stress
     affine = stress_term + mass[:, None, None] * state.C  # (N, 3, 3)
 
-    W, Wi, base, fx = _axis_weights(constants, state.x)
+    W, Wi, base, fx = _axis_weights(constants, state.x, region)
     Wx, Wy, Wz = W
     Wix, Wiy, Wiz = Wi
     # Zero disabled particles through the x-axis weights.
@@ -210,13 +234,13 @@ def p2g_matmul(
         wx, wy, wz = Wx[sl], Wy[sl], Wz[sl]
         wix, wiy, wiz = Wix[sl], Wiy[sl], Wiz[sl]
         yz = (wy[:, :, None] * wz[:, None, :]).reshape(
-            wy.shape[0], g * g
+            wy.shape[0], sy * sz
         )
         yz_i = (wiy[:, :, None] * wz[:, None, :]).reshape(
-            wy.shape[0], g * g
+            wy.shape[0], sy * sz
         )
         yz_k = (wy[:, :, None] * wiz[:, None, :]).reshape(
-            wy.shape[0], g * g
+            wy.shape[0], sy * sz
         )
         b = b_vec[sl]
         a = a_cols[sl]
@@ -225,7 +249,7 @@ def p2g_matmul(
         # grid_m: one matmul
         grid_m = jnp.matmul(
             wx.T, yz * m[:, None], precision=prec
-        )  # (G, G^2)
+        )  # (Sx, Sy*Sz)
 
         # grid_mv channel r:
         #   Wx^T @ (yz * b_r) + Wix^T @ (yz * a0_r)
@@ -239,19 +263,19 @@ def p2g_matmul(
                 wix.T, yz * a[:, r2, 0][:, None], precision=prec
             )
             mv.append(term)
-        return grid_m, jnp.stack(mv, axis=-1)  # (G, G^2), (G, G^2, 3)
+        return grid_m, jnp.stack(mv, axis=-1)  # (Sx, Sy*Sz), (.., 3)
 
     if n <= chunk:
         grid_m, grid_mv = accumulate(slice(None))
     else:
-        grid_m = jnp.zeros((g, g * g), dtype)
-        grid_mv = jnp.zeros((g, g * g, 3), dtype)
+        grid_m = jnp.zeros((sx, sy * sz), dtype)
+        grid_mv = jnp.zeros((sx, sy * sz, 3), dtype)
         for start in range(0, n, chunk):
             dm, dmv = accumulate(slice(start, min(start + chunk, n)))
             grid_m = grid_m + dm
             grid_mv = grid_mv + dmv
 
-    return grid_m.reshape(g ** 3), grid_mv.reshape(g ** 3, 3)
+    return grid_m.reshape(sx * sy * sz), grid_mv.reshape(sx * sy * sz, 3)
 
 
 def p2g(

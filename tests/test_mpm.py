@@ -317,3 +317,42 @@ def test_g2p_custom_vjp_matches_ad(rng):
             np.asarray(b), np.asarray(a), atol=3e-5, rtol=1e-3,
             err_msg=f"cotangent mismatch: {name}",
         )
+
+
+def test_p2g_matmul_matches_scatter_near_walls(rng):
+    """Particles within half a cell of the box walls (allowed when
+    clip_bound < 0.5): out-of-range stencil taps must fold onto the edge
+    grid line on BOTH paths (the scatter path clamps indices; the matmul
+    path folds the tap into the edge weight row)."""
+    from neuma_tpu.sim.mpm import p2g_matmul, p2g_scatter
+
+    n, g = 64, 16
+    constants, statics, state, _ = make_scene(rng, n=n, g=g)
+    dx = 1.0 / g
+    # Place particles hugging every wall at 0.1*dx (and a few corners).
+    pos = rng.random((n, 3)).astype(np.float32)
+    wall = 0.1 * dx
+    pos[:20, 0] = wall
+    pos[20:40, 1] = 1.0 - wall
+    pos[40:50] = wall
+    pos[50:] = 1.0 - wall
+    state = ParticleState(
+        x=jnp.asarray(pos),
+        v=state.v,
+        C=jnp.asarray(0.1 * rng.standard_normal((n, 3, 3)), jnp.float32),
+        F=state.F,
+    )
+    stress = jnp.asarray(
+        1e-3 * rng.standard_normal((n, 3, 3)), jnp.float32
+    )
+    m1, mv1 = p2g_scatter(constants, statics, state, stress)
+    m2, mv2 = p2g_matmul(constants, statics, state, stress)
+    np.testing.assert_allclose(
+        np.asarray(m2), np.asarray(m1), atol=1e-7, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(mv2), np.asarray(mv1), atol=2e-6, rtol=1e-3
+    )
+    # Total mass is conserved (nothing dropped off the grid).
+    total = float(jnp.sum(statics.vol * statics.rho))
+    np.testing.assert_allclose(float(jnp.sum(m2)), total, rtol=1e-5)
