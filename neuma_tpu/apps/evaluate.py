@@ -37,18 +37,40 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def _lpips_model():
+def _lpips_model(weights=None):
+    """JAX LPIPS-VGG (train/lpips.py). Prefers the official ``lpips``
+    torch package if installed; otherwise the in-tree implementation
+    (vendored weights npz, or the labeled random-VGG fallback)."""
     try:
-        import lpips  # optional
+        import lpips  # optional official package
 
-        return lpips.LPIPS(net="vgg")
+        model = lpips.LPIPS(net="vgg")
+
+        def call(r, g):
+            import torch
+
+            with torch.no_grad():
+                return float(
+                    model(
+                        torch.from_numpy(r.transpose(2, 0, 1)[None] * 2 - 1),
+                        torch.from_numpy(g.transpose(2, 0, 1)[None] * 2 - 1),
+                    )
+                )
+
+        return "lpips", call
     except Exception:
-        return None
+        from ..train.lpips import LPIPSMetric
+
+        metric = LPIPSMetric(weights)
+        return metric.name, lambda r, g: metric(
+            r.transpose(2, 0, 1), g.transpose(2, 0, 1)
+        )
 
 
 def evaluate_frames(
     render_paths, gt_paths, crop, lpips_model=None
 ):
+    lpips_name, lpips_call = lpips_model or ("lpips", None)
     from PIL import Image
 
     rows = []
@@ -65,20 +87,8 @@ def evaluate_frames(
             "psnr": float(psnr_fn(rj, gj)),
             "ssim": float(ssim_fn(rj, gj)),
         }
-        if lpips_model is not None:
-            import torch
-
-            with torch.no_grad():
-                row["lpips"] = float(
-                    lpips_model(
-                        torch.from_numpy(
-                            r.transpose(2, 0, 1)[None] * 2 - 1
-                        ),
-                        torch.from_numpy(
-                            g.transpose(2, 0, 1)[None] * 2 - 1
-                        ),
-                    )
-                )
+        if lpips_call is not None:
+            row[lpips_name] = lpips_call(r, g)
         rows.append(row)
     return rows
 
