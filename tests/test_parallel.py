@@ -75,3 +75,37 @@ def test_entry_compiles():
     out = jax.jit(fn)(*args)
     state, img = out
     assert np.all(np.isfinite(np.asarray(img)))
+
+
+def test_view_axis_sharded_loss_matches_unsharded():
+    """2-axis mesh (dp x vp): the rollout loss with particle + view-axis
+    sharding annotations equals the unsharded loss."""
+    import dataclasses
+
+    import __graft_entry__ as g
+    from jax.sharding import Mesh
+
+    from neuma_tpu.train.grounding import make_rollout_loss
+
+    scene = g._build_tiny_scene(n_particles=64, n_views=4)
+    loss_fn = make_rollout_loss(scene)
+    w = jnp.ones(scene.num_frames, jnp.float32)
+    iv = jnp.asarray([0.1, -0.2, 0.05], jnp.float32)
+    ref, _ = jax.jit(
+        lambda: loss_fn(
+            scene.elasticity_params, scene.plasticity_params, iv, w
+        )
+    )()
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("dp", "vp"))
+    scene_s = dataclasses.replace(
+        scene, mesh=mesh, particle_axis="dp", view_axis="vp"
+    )
+    loss_s = make_rollout_loss(scene_s)
+    with mesh:
+        out, _ = jax.jit(
+            lambda: loss_s(
+                scene.elasticity_params, scene.plasticity_params, iv, w
+            )
+        )()
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
