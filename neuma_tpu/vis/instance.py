@@ -31,9 +31,33 @@ from ..render.rasterize import RasterConfig, rasterize
 from ..sim.mpm import mpm_step
 
 
+def _set_lora_scale(params, weight: float):
+    """Rewrite every ``lora_scale`` leaf to ``weight`` (= alpha/r; the
+    reference panel sets alpha = weight * r, viewer.py:135)."""
+
+    def rec(p):
+        if isinstance(p, dict):
+            out = {
+                k: (jnp.asarray(weight, jnp.float32)
+                    if k == "lora_scale" else rec(v))
+                for k, v in p.items()
+            }
+            return out
+        if isinstance(p, list):
+            return [rec(v) for v in p]
+        return p
+
+    return rec(params)
+
+
 @dataclasses.dataclass
 class SceneObject:
-    """One simulated object with its render/binding/material bundle."""
+    """One simulated object with its render/binding/material bundle.
+
+    The editable fields mirror the reference's per-object simulation
+    panel (simulation_panel.py:3-37): drop velocity along the up axis,
+    LoRA weight (= alpha/r, applied to the ``lora_scale`` leaves),
+    adaptor choice (by registry name), and existence."""
 
     name: str
     gaussians: GaussianPack
@@ -45,6 +69,10 @@ class SceneObject:
     init_data: object  # MPMInitData
     enabled: bool = True
     scaling_modifier: float = 1.0
+    drop_vel: float = 0.0
+    lora_weight: float = 1.0
+    adaptor: Optional[str] = None
+    up_axis: int = 1
 
 
 class NeuMAInstance:
@@ -56,7 +84,13 @@ class NeuMAInstance:
         substeps: int = 1,
         background: Optional[jnp.ndarray] = None,
         raster_cfg: RasterConfig = RasterConfig(),
+        adaptor_registry: Optional[Dict[str, dict]] = None,
     ):
+        """``adaptor_registry`` maps adaptor names (the reference's
+        bouncy/clay/honey/jelly/rubber/sand dropdown, viewer.py:16-32) to
+        ``{"params_e": ..., "params_p": ...}`` trees (or zero-arg
+        callables returning such a dict) used when the panel switches an
+        object's NeuMA."""
         self.constants = constants
         self.objects = list(objects)
         self.num_frames = num_frames
@@ -65,7 +99,45 @@ class NeuMAInstance:
             background if background is not None else jnp.ones(3)
         )
         self.raster_cfg = raster_cfg
+        self.adaptor_registry = adaptor_registry or {}
         self.frames: List[Dict[str, np.ndarray]] = []
+
+    # -- simulation panel edits (reference simulation_panel.py:3-37) -----
+
+    def apply_object_settings(self, name: str, settings: Dict) -> None:
+        """Apply panel edits to one object: ``exists`` (bool),
+        ``drop_vel`` (float, applied NEGATIVE along the up axis —
+        reference viewer.py:134 'NOTE: drop_vel is negative'),
+        ``weight`` (LoRA alpha/r, scales the lora_scale leaves),
+        ``adaptor`` (registry name)."""
+        obj = next(o for o in self.objects if o.name == name)
+        if "exists" in settings:
+            obj.enabled = bool(settings["exists"])
+        if "drop_vel" in settings:
+            obj.drop_vel = float(settings["drop_vel"])
+            vel = np.zeros(3)
+            vel[obj.up_axis] = -obj.drop_vel
+            obj.init_data.set_lin_vel(vel)
+        if "weight" in settings:
+            obj.lora_weight = float(settings["weight"])
+            obj.params_e = _set_lora_scale(obj.params_e, obj.lora_weight)
+            obj.params_p = _set_lora_scale(obj.params_p, obj.lora_weight)
+        if "adaptor" in settings and settings["adaptor"]:
+            adaptor = str(settings["adaptor"])
+            if adaptor != obj.adaptor:
+                entry = self.adaptor_registry[adaptor]
+                if callable(entry):
+                    entry = self.adaptor_registry[adaptor] = entry()
+                obj.params_e = entry["params_e"]
+                obj.params_p = entry["params_p"]
+                obj.adaptor = adaptor
+                # re-apply the current weight to the fresh params
+                obj.params_e = _set_lora_scale(
+                    obj.params_e, obj.lora_weight
+                )
+                obj.params_p = _set_lora_scale(
+                    obj.params_p, obj.lora_weight
+                )
 
     # -- simulation ------------------------------------------------------
 

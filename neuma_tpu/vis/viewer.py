@@ -80,11 +80,19 @@ document.getElementById('play').onclick = () => { playing = !playing; };
 setInterval(() => { if (playing && nframes>0) {
   frame = (frame+1)%nframes; slider.value=frame; refresh(); } }, 66);
 document.getElementById('resim').onclick = async () => {
-  const toggles = {};
-  document.querySelectorAll('.objtoggle').forEach(
-    cb => toggles[cb.dataset.name] = cb.checked);
+  const objects = {};
+  document.querySelectorAll('.objbox').forEach(box => {
+    const name = box.dataset.name;
+    objects[name] = {
+      exists: box.querySelector('.objtoggle').checked,
+      drop_vel: +box.querySelector('.dropvel').value,
+      weight: +box.querySelector('.weight').value,
+      adaptor: box.querySelector('.adaptor') ?
+               box.querySelector('.adaptor').value : null,
+    };
+  });
   await fetch('/resimulate', {method:'POST',
-    body: JSON.stringify({objects: toggles})});
+    body: JSON.stringify({objects})});
   await info(); refresh();
 };
 let keyframes = [];
@@ -105,9 +113,22 @@ async function info() {
   slider.max = Math.max(0, nframes-1);
   document.getElementById('fmax').textContent = nframes-1;
   const div = document.getElementById('objects');
-  div.innerHTML = d.objects.map(o =>
-    `<label><input type="checkbox" class="objtoggle" data-name="${o.name}"` +
-    ` ${o.enabled?'checked':''}/> ${o.name}</label><br/>`).join('');
+  div.innerHTML = d.objects.map(o => {
+    const opts = (d.adaptors || []).map(a =>
+      `<option value="${a}" ${a===o.adaptor?'selected':''}>${a}</option>`
+    ).join('');
+    const dd = d.adaptors && d.adaptors.length ?
+      `NeuMA <select class="adaptor">${opts}</select><br/>` : '';
+    return `<fieldset class="objbox" data-name="${o.name}">` +
+      `<legend>${o.name}</legend>` +
+      `Drop Vel <input type="range" class="dropvel" min="0" max="1"` +
+      ` step="0.01" value="${o.drop_vel}"/><br/>` +
+      `Weight <input type="range" class="weight" min="0" max="1"` +
+      ` step="0.01" value="${o.weight}"/><br/>` + dd +
+      `<label><input type="checkbox" class="objtoggle"` +
+      ` ${o.enabled?'checked':''}/> Object Exists</label>` +
+      `</fieldset>`;
+  }).join('');
 }
 info().then(refresh);
 </script></body></html>
@@ -155,8 +176,17 @@ class DynamicViewer:
                     body = json.dumps(
                         {
                             "num_frames": len(viewer.instance.frames),
+                            "adaptors": sorted(
+                                viewer.instance.adaptor_registry
+                            ),
                             "objects": [
-                                {"name": o.name, "enabled": o.enabled}
+                                {
+                                    "name": o.name,
+                                    "enabled": o.enabled,
+                                    "drop_vel": o.drop_vel,
+                                    "weight": o.lora_weight,
+                                    "adaptor": o.adaptor,
+                                }
                                 for o in viewer.instance.objects
                             ],
                         }
@@ -251,13 +281,20 @@ class DynamicViewer:
                         json.dumps({"path": str(produced)}).encode(),
                     )
                 elif self.path == "/resimulate":
+                    # Per-object simulation-panel edits (reference
+                    # simulation_panel.py:3-37, viewer.py:117-167):
+                    # exists / drop_vel / weight / adaptor. Legacy bool
+                    # payloads (existence only) are still accepted.
                     length = int(self.headers.get("Content-Length", 0))
                     data = json.loads(self.rfile.read(length) or b"{}")
-                    toggles = data.get("objects", {})
+                    edits = data.get("objects", {})
                     with viewer._lock:
-                        for o in viewer.instance.objects:
-                            if o.name in toggles:
-                                o.enabled = bool(toggles[o.name])
+                        for name, settings in edits.items():
+                            if isinstance(settings, bool):
+                                settings = {"exists": settings}
+                            viewer.instance.apply_object_settings(
+                                name, settings
+                            )
                         viewer.instance.simulate()
                     self._send(200, "application/json", b"{}")
                 else:

@@ -126,3 +126,144 @@ def test_viewer_camera_path(rng):
         assert Path(resp["path"]).exists()
     finally:
         server.shutdown()
+
+
+def make_meta_instance(rng, frames=2):
+    """Instance with LoRA-bearing meta materials + an adaptor registry,
+    for the simulation-panel tests."""
+    import jax
+
+    from neuma_tpu.materials import (
+        InvariantFullMetaElasticity,
+        InvariantFullMetaPlasticity,
+        MetaMaterialConfig,
+    )
+
+    n = 80
+    pts = (0.45 + 0.1 * rng.random((n, 3))).astype(np.float32)
+    pack = create_from_points(
+        pts, rng.random((n, 3)).astype(np.float32), sh_degree=0
+    )
+    table = compute_binding_table(pack, jnp.asarray(pts), max_particles=6)
+    cfg = MetaMaterialConfig(layer_widths=(16, 16))
+    elasticity = InvariantFullMetaElasticity(cfg)
+    plasticity = InvariantFullMetaPlasticity(cfg)
+    key = jax.random.PRNGKey(0)
+    pe = jax.tree_util.tree_map(lambda x: 0.05 * x, elasticity.init(key))
+    pp = jax.tree_util.tree_map(
+        lambda x: 0.05 * x, plasticity.init(jax.random.fold_in(key, 1))
+    )
+    pe = elasticity.init_lora(pe, key, r=4, alpha=4)
+    pp = plasticity.init_lora(pp, jax.random.fold_in(key, 2), r=4, alpha=4)
+    init_data = MPMInitData.from_points(
+        pts, total_volume=0.001, rho=1000.0, clip_bound=0.1,
+        span=(0, 10**9),
+    )
+    constants = MPMConstants(
+        num_grids=16, bound=2, bc="freeslip",
+        dt=jnp.float32(5e-4),
+        gravity=jnp.asarray([0, -9.8, 0], jnp.float32),
+        eps=jnp.float32(6e-7),
+    )
+    obj = SceneObject(
+        name="blob",
+        gaussians=pack,
+        binding=table,
+        elasticity=elasticity,
+        plasticity=plasticity,
+        params_e=pe,
+        params_p=pp,
+        init_data=init_data,
+        adaptor="jelly",
+    )
+    registry = {
+        "jelly": {"params_e": pe, "params_p": pp},
+        "sand": {
+            "params_e": jax.tree_util.tree_map(lambda x: 0.5 * x, pe),
+            "params_p": jax.tree_util.tree_map(lambda x: 0.5 * x, pp),
+        },
+    }
+    return NeuMAInstance(
+        constants,
+        [obj],
+        num_frames=frames,
+        raster_cfg=RasterConfig(
+            max_pairs=4096, max_per_tile=32, segment=8
+        ),
+        adaptor_registry=registry,
+    )
+
+
+def test_apply_object_settings(rng):
+    """Panel edits: drop_vel negative along up axis, weight rewrites
+    lora_scale leaves, adaptor switch swaps params."""
+    import jax
+
+    inst = make_meta_instance(rng)
+    obj = inst.objects[0]
+    inst.apply_object_settings(
+        "blob", {"drop_vel": 0.4, "weight": 0.25, "exists": True}
+    )
+    np.testing.assert_allclose(obj.init_data.lin_vel, [0, -0.4, 0])
+    scales = [
+        float(leaf)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+            obj.params_e
+        )[0]
+        if "lora_scale" in str(path)
+    ]
+    assert scales and all(abs(s - 0.25) < 1e-6 for s in scales)
+
+    before = obj.params_e
+    inst.apply_object_settings("blob", {"adaptor": "sand"})
+    assert obj.adaptor == "sand"
+    assert obj.params_e is not before
+
+    inst.apply_object_settings("blob", {"exists": False})
+    assert not obj.enabled
+
+
+def test_viewer_resimulate_with_panel_settings(rng):
+    """/resimulate accepts the full per-object settings payload and
+    /info reports sliders + adaptors (reference simulation panel)."""
+    inst = make_meta_instance(rng)
+    viewer = DynamicViewer(inst, width=48, height=48)
+    server = viewer.serve(port=0, blocking=False)
+    try:
+        port = server.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        d = json.loads(urllib.request.urlopen(base + "/info").read())
+        assert d["adaptors"] == ["jelly", "sand"]
+        o = d["objects"][0]
+        assert set(o) >= {"name", "enabled", "drop_vel", "weight",
+                          "adaptor"}
+
+        req = urllib.request.Request(
+            base + "/resimulate",
+            data=json.dumps(
+                {
+                    "objects": {
+                        "blob": {
+                            "exists": True,
+                            "drop_vel": 0.3,
+                            "weight": 0.5,
+                            "adaptor": "sand",
+                        }
+                    }
+                }
+            ).encode(),
+            method="POST",
+        )
+        urllib.request.urlopen(req).read()
+        d = json.loads(urllib.request.urlopen(base + "/info").read())
+        o = d["objects"][0]
+        assert o["adaptor"] == "sand"
+        assert abs(o["drop_vel"] - 0.3) < 1e-6
+        assert abs(o["weight"] - 0.5) < 1e-6
+        assert len(inst.frames) == inst.num_frames
+        # page embeds the panel controls
+        page = urllib.request.urlopen(base + "/").read().decode()
+        for needle in ("dropvel", "weight", "adaptor", "Object Exists"):
+            assert needle in page
+    finally:
+        server.shutdown()
