@@ -112,7 +112,9 @@ def main():
 
     grad_fn = jax.jit(
         jax.value_and_grad(
-            lambda a, b: loss_fn(a, b, init_v, weights), argnums=(0, 1)
+            lambda a, b: loss_fn(a, b, init_v, weights),
+            argnums=(0, 1),
+            has_aux=True,
         )
     )
 
@@ -120,7 +122,7 @@ def main():
     import sys
     t_c0 = time.perf_counter()
     out = grad_fn(pe, pp)
-    loss_val = float(out[0])
+    loss_val = float(out[0][0])
     print(f"[bench] compile+first step: {time.perf_counter()-t_c0:.1f}s "
           f"loss={loss_val:.4f}", file=sys.stderr)
 
@@ -128,7 +130,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(reps):
         out = grad_fn(pe, pp)
-        _ = float(out[0])  # force sync (block_until_ready is a no-op on
+        _ = float(out[0][0])  # force sync (block_until_ready is a no-op on
                            # the tunneled axon backend)
     elapsed = time.perf_counter() - t0
 
