@@ -1,0 +1,401 @@
+"""Grid-blocked APIC particle->grid scatter — the TPU fast path for
+real-world grid sizes (64^3 - 70^3 and beyond).
+
+Why
+---
+The dense separable formulation (``mpm.p2g_matmul``) materializes
+``(N, G^2)`` spline outer products and runs ``(G, N) @ (N, G^2)``
+matmuls: O(N G^3) FLOPs and O(N G^2) HBM traffic. At the reference's
+real-capture grids (70^3, ``experiments/configs/realworld/finetune-bun.
+yaml:46``) that is ~180x the useful 27-tap work and collapses to ~1.2M
+particle-steps/s (VERDICT round-1 weak item 1).
+
+Here the same tensor-product math runs on *local* blocks instead:
+
+1. Each particle's 3^3 quadratic-spline stencil spans cells
+   ``[base, base+2]``. Partition the grid into blocks of ``B`` cells per
+   edge; a particle whose (clamped) base cell lies in block ``k`` only
+   touches the ``S = B + 2`` grid lines starting at ``k*B`` per axis.
+2. Sort particles by flat block id (one ``argsort`` per step), carve
+   each block's run into fixed-size chunks of ``C`` particles, and pad
+   the chunk list to the static bound ``ceil(N/C) + n_blocks`` (each
+   block wastes at most one partial chunk).
+3. Per chunk: build one-hot spline matrices over the *local* ``S``
+   grid lines and run the separable matmuls at local size —
+   ``(S, C) @ (C, S^2)`` on the MXU — O(N S^3) FLOPs total,
+   ``(G/S)^3`` less than the dense path.
+4. Scatter-add the per-chunk partial blocks onto per-block sums (a few
+   hundred wide rows — cheap on TPU), then fold the overlapping
+   ``S``-sized block buffers onto the global grid with static-slice
+   halo adds (block origins form a static lattice).
+
+Differentiation
+---------------
+``apic_scatter`` / ``apic_scatter_f`` carry a custom VJP: the backward
+pass gathers the grid cotangent at each particle's 27 taps and applies
+closed-form tap-space formulas (O(27 N) work) instead of transposing
+the forward matmuls — this is what takes the 70^3 grounding step's
+backward off the dense-matmul cliff. With cell indices piecewise
+constant in ``x`` the derivative matches JAX's AD of the scatter path
+exactly (weights differentiate, tap placement does not).
+
+Reference spec: ``modules/nclaw/sim/mpm.py:321-371`` (p2g kernel);
+this module is a TPU-native redesign, not a translation.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import MPMConstants
+
+# Block/chunk sizing. S = BLOCK + 2 = 16 keeps the local matmuls on
+# clean (16, C) @ (C, 256) shapes (f32 tiles are (8, 128)).
+BLOCK = 14
+CHUNK = 512
+
+_OFFSETS = np.stack(
+    np.meshgrid(np.arange(3), np.arange(3), np.arange(3), indexing="ij"),
+    axis=-1,
+).reshape(27, 3)
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _spline(fx: jnp.ndarray):
+    """Quadratic B-spline weights and d/dfx derivatives, (N, 3 axes, 3 taps)."""
+    wa = 1.5 - fx
+    wb = fx - 1.0
+    wc = fx - 0.5
+    w = jnp.stack([0.5 * wa * wa, 0.75 - wb * wb, 0.5 * wc * wc], axis=-1)
+    wd = jnp.stack([-wa, -2.0 * wb, wc], axis=-1)
+    return w, wd
+
+
+# --------------------------------------------------------------------------
+# forward: blocked
+# --------------------------------------------------------------------------
+
+def _fold_blocks(pb: jnp.ndarray, g: int, nb: int, block: int) -> jnp.ndarray:
+    """Fold per-block (NB, S, S, S, CH) buffers onto the (g, g, g, CH)
+    grid. Block origins are a static lattice, so the overlap (halo) add
+    is a short static loop of slice-adds per axis."""
+    S = block + 2
+    ch = pb.shape[-1]
+    dtype = pb.dtype
+    gp = (nb - 1) * block + S
+    bl = pb.reshape(nb, nb, nb, S, S, S, ch)
+
+    z = jnp.zeros((nb, nb, S, S, gp, ch), dtype)
+    for k in range(nb):
+        z = z.at[:, :, :, :, k * block : k * block + S, :].add(bl[:, :, k])
+    y = jnp.zeros((nb, S, gp, gp, ch), dtype)
+    for j in range(nb):
+        y = y.at[:, :, j * block : j * block + S, :, :].add(z[:, j])
+    out = jnp.zeros((gp, gp, gp, ch), dtype)
+    for i in range(nb):
+        out = out.at[i * block : i * block + S].add(y[i])
+    return out[:g, :g, :g]
+
+
+def _blocked_forward(
+    constants: MPMConstants,
+    x: jnp.ndarray,
+    gm: Optional[jnp.ndarray],
+    b: jnp.ndarray,
+    A: jnp.ndarray,
+    block: int = BLOCK,
+    chunk: int = CHUNK,
+) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:
+    """Blocked separable scatter. Returns (grid_m (G^3,) or None,
+    grid_f (G^3, 3))."""
+    g = constants.num_grids
+    nb = _cdiv(g, block)
+    NB = nb ** 3
+    S = block + 2
+    n = x.shape[0]
+    C = chunk
+    M = _cdiv(n, C) + NB
+    dtype = x.dtype
+
+    p_x = x * constants.inv_dx
+    base = jnp.floor(p_x - 0.5).astype(jnp.int32)
+    fx = p_x - base.astype(dtype)
+    w, _ = _spline(fx)  # (N, 3, 3)
+
+    blk = jnp.clip(base, 0, g - 1) // block  # (N, 3)
+    bid = (blk[:, 0] * nb + blk[:, 1]) * nb + blk[:, 2]
+    # Local tap grid lines, with the same edge clamp as the scatter path.
+    taps = jnp.clip(
+        base[:, :, None] + jnp.arange(3, dtype=jnp.int32)[None, None, :],
+        0,
+        g - 1,
+    )
+    loc = taps - (blk * block)[:, :, None]  # (N, 3 axes, 3 taps) in [0, S)
+
+    dxc = constants.dx
+    b_eff = b - jnp.einsum("nij,nj->ni", A, fx) * dxc
+    a_cols = A * dxc  # (N, 3, 3); column c scales local tap offset c
+
+    # -- sort by block id, build the static-size chunk table -------------
+    perm = jnp.argsort(bid)
+    sbid = bid[perm]
+    bins = jnp.arange(NB, dtype=sbid.dtype)
+    bstart = jnp.searchsorted(sbid, bins, side="left")
+    counts = jnp.searchsorted(sbid, bins, side="right") - bstart
+    nchunk = (counts + C - 1) // C
+    cum = jnp.cumsum(nchunk)
+    cid = jnp.arange(M, dtype=jnp.int32)
+    c2b = jnp.searchsorted(cum, cid, side="right")
+    valid = c2b < NB
+    c2b = jnp.minimum(c2b, NB - 1).astype(jnp.int32)
+    rank = cid - jnp.where(c2b > 0, cum[jnp.maximum(c2b - 1, 0)], 0)
+    start = bstart[c2b] + rank * C
+    cnt = jnp.clip(counts[c2b] - rank * C, 0, C) * valid
+
+    slot = start[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :]
+    pidx = perm[jnp.clip(slot, 0, n - 1)]  # (M, C)
+    mask = (jnp.arange(C)[None, :] < cnt[:, None]).astype(dtype)
+
+    wg = w[pidx]  # (M, C, 3, 3)
+    lg = loc[pidx]  # (M, C, 3, 3) int32
+    bg = b_eff[pidx]  # (M, C, 3)
+    ag = a_cols[pidx]  # (M, C, 3, 3)
+
+    iot = jnp.arange(S, dtype=jnp.int32)
+    tapw = jnp.arange(3, dtype=dtype)
+
+    def axis_mats(axis):
+        oh = (lg[:, :, axis, :, None] == iot).astype(dtype)  # (M, C, 3, S)
+        Wa = jnp.einsum("mct,mcts->mcs", wg[:, :, axis, :], oh)
+        Wia = jnp.einsum("t,mct,mcts->mcs", tapw, wg[:, :, axis, :], oh)
+        return Wa, Wia
+
+    Wx, Wix = axis_mats(0)
+    Wy, Wiy = axis_mats(1)
+    Wz, Wiz = axis_mats(2)
+    Wx = Wx * mask[..., None]
+    Wix = Wix * mask[..., None]
+
+    yz = (Wy[..., :, None] * Wz[..., None, :]).reshape(M, C, S * S)
+    yz_i = (Wiy[..., :, None] * Wz[..., None, :]).reshape(M, C, S * S)
+    yz_k = (Wy[..., :, None] * Wiz[..., None, :]).reshape(M, C, S * S)
+
+    prec = jax.lax.Precision.HIGHEST
+    channels = []
+    for r in range(3):
+        lhs = (
+            yz * bg[..., r : r + 1]
+            + yz_i * ag[:, :, r, 1][..., None]
+            + yz_k * ag[:, :, r, 2][..., None]
+        )
+        t = jnp.einsum("mcs,mcq->msq", Wx, lhs, precision=prec)
+        t = t + jnp.einsum(
+            "mcs,mcq->msq", Wix, yz * ag[:, :, r, 0][..., None], precision=prec
+        )
+        channels.append(t)
+    if gm is not None:
+        gmg = gm[pidx]
+        channels.append(
+            jnp.einsum("mcs,mcq->msq", Wx * gmg[..., None], yz, precision=prec)
+        )
+
+    partial_blocks = jnp.stack(channels, axis=-1)  # (M, S, S^2, CH)
+    ch = partial_blocks.shape[-1]
+    partial_blocks = partial_blocks.reshape(M, S, S, S, ch)
+    pb = jnp.zeros((NB, S, S, S, ch), dtype).at[c2b].add(partial_blocks)
+    grid = _fold_blocks(pb, g, nb, block).reshape(g ** 3, ch)
+
+    grid_f = grid[:, :3]
+    grid_m = grid[:, 3] if gm is not None else None
+    return grid_m, grid_f
+
+
+# --------------------------------------------------------------------------
+# backward: closed-form tap-space cotangents (27-tap gather, no matmuls)
+# --------------------------------------------------------------------------
+
+def _tap_geometry(constants: MPMConstants, x: jnp.ndarray):
+    g = constants.num_grids
+    dtype = x.dtype
+    p_x = x * constants.inv_dx
+    base = jnp.floor(p_x - 0.5).astype(jnp.int32)
+    fx = p_x - base.astype(dtype)
+    w, wd = _spline(fx)
+
+    offsets = jnp.asarray(_OFFSETS, jnp.int32)  # (27, 3)
+    cells = jnp.clip(base[:, None, :] + offsets[None, :, :], 0, g - 1)
+    flat = (cells[..., 0] * g + cells[..., 1]) * g + cells[..., 2]
+
+    o0, o1, o2 = _OFFSETS[:, 0], _OFFSETS[:, 1], _OFFSETS[:, 2]
+    W = w[:, 0, o0] * w[:, 1, o1] * w[:, 2, o2]  # (N, 27)
+    gW = jnp.stack(
+        [
+            wd[:, 0, o0] * w[:, 1, o1] * w[:, 2, o2],
+            w[:, 0, o0] * wd[:, 1, o1] * w[:, 2, o2],
+            w[:, 0, o0] * w[:, 1, o1] * wd[:, 2, o2],
+        ],
+        axis=-1,
+    )  # (N, 27, 3): d W / d fx_a
+    dpos = (offsets.astype(dtype)[None] - fx[:, None, :]) * constants.dx
+    return flat, W, gW, dpos
+
+
+def _apic_bwd_impl(
+    constants: MPMConstants,
+    x: jnp.ndarray,
+    gm: Optional[jnp.ndarray],
+    b: jnp.ndarray,
+    A: jnp.ndarray,
+    du: Optional[jnp.ndarray],
+    df: jnp.ndarray,
+):
+    """Cotangents of the APIC scatter w.r.t. (x, gm, b, A).
+
+    Per particle, with u_o/r_o the gathered grid cotangents at tap o:
+        d gm  = sum_o W_o u_o
+        d b   = sum_o W_o r_o
+        d A   = sum_o W_o r_o (x) dpos_o
+        d x_a = inv_dx * sum_o (dW_o/dfx_a) s_o  -  sum_o W_o (A^T r_o)_a
+    where s_o = u_o gm + r_o . (b + A dpos_o) and cell indices are
+    treated as piecewise constant (matching AD of the scatter path).
+    """
+    flat, W, gW, dpos = _tap_geometry(constants, x)
+    r = df[flat]  # (N, 27, 3)
+
+    db = jnp.einsum("no,noi->ni", W, r)
+    dA = jnp.einsum("no,noi,noj->nij", W, r, dpos)
+
+    s = jnp.einsum("noi,noi->no", r, b[:, None, :] + jnp.einsum(
+        "nij,noj->noi", A, dpos
+    ))
+    if du is not None and gm is not None:
+        u = du[flat]  # (N, 27)
+        dgm = jnp.einsum("no,no->n", W, u)
+        s = s + u * gm[:, None]
+    else:
+        dgm = None
+
+    dx_w = constants.inv_dx * jnp.einsum("noa,no->na", gW, s)
+    dx_d = -jnp.einsum("no,nij,noi->nj", W, A, r)
+    return dx_w + dx_d, dgm, db, dA
+
+
+# --------------------------------------------------------------------------
+# dense fallback (tiny grids) — same channel math without blocking
+# --------------------------------------------------------------------------
+
+def _dense_forward(
+    constants: MPMConstants,
+    x: jnp.ndarray,
+    gm: Optional[jnp.ndarray],
+    b: jnp.ndarray,
+    A: jnp.ndarray,
+) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:
+    """Single-region separable scatter (used when the grid is small
+    enough that blocking does not pay)."""
+    flat, W, _, dpos = _tap_geometry(constants, x)
+    g3 = constants.num_grids ** 3
+    f_tap = W[..., None] * (
+        b[:, None, :] + jnp.einsum("nij,noj->noi", A, dpos)
+    )
+    idx = flat.reshape(-1)
+    grid_f = jnp.zeros((g3, 3), x.dtype).at[idx].add(f_tap.reshape(-1, 3))
+    if gm is not None:
+        m_tap = W * gm[:, None]
+        grid_m = jnp.zeros((g3,), x.dtype).at[idx].add(m_tap.reshape(-1))
+    else:
+        grid_m = None
+    return grid_m, grid_f
+
+
+def _forward_dispatch(constants, x, gm, b, A, method: str):
+    if method == "auto":
+        method = "blocked" if constants.num_grids > 24 else "dense"
+    if method == "blocked":
+        if jax.default_backend() == "tpu":
+            from .p2g_kernel import p2g_blocked_pallas
+
+            return p2g_blocked_pallas(constants, x, gm, b, A)
+        return _blocked_forward(constants, x, gm, b, A)
+    return _dense_forward(constants, x, gm, b, A)
+
+
+# --------------------------------------------------------------------------
+# public custom-VJP primitives
+# --------------------------------------------------------------------------
+
+@jax.custom_vjp
+def apic_scatter(
+    constants: MPMConstants,
+    x: jnp.ndarray,
+    gm: jnp.ndarray,
+    b: jnp.ndarray,
+    A: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mass + momentum APIC scatter:
+        grid_m[c] += W_c(x) * gm
+        grid_f[c] += W_c(x) * (b + A @ dpos_c)
+    Returns (grid_m (G^3,), grid_f (G^3, 3)). Forward runs the blocked
+    separable matmul path; backward is the closed-form 27-tap gather.
+    """
+    return _forward_dispatch(constants, x, gm, b, A, "auto")
+
+
+def _apic_fwd(constants, x, gm, b, A):
+    out = _forward_dispatch(constants, x, gm, b, A, "auto")
+    return out, (constants, x, gm, b, A)
+
+
+def _zero_like_tree(tree):
+    def z(v):
+        if jnp.issubdtype(jnp.asarray(v).dtype, jnp.integer):
+            return np.zeros(jnp.shape(v), jax.dtypes.float0)
+        return jnp.zeros_like(v)
+
+    return jax.tree_util.tree_map(z, tree)
+
+
+def _apic_bwd(res, cot):
+    constants, x, gm, b, A = res
+    du, df = cot
+    dx, dgm, db, dA = _apic_bwd_impl(constants, x, gm, b, A, du, df)
+    return _zero_like_tree(constants), dx, dgm, db, dA
+
+
+apic_scatter.defvjp(_apic_fwd, _apic_bwd)
+
+
+@jax.custom_vjp
+def apic_scatter_f(
+    constants: MPMConstants,
+    x: jnp.ndarray,
+    b: jnp.ndarray,
+    A: jnp.ndarray,
+) -> jnp.ndarray:
+    """Momentum-only APIC scatter (no mass channel):
+        grid_f[c] += W_c(x) * (b + A @ dpos_c)
+    Used for the G2P grid cotangent (``mpm._g2p_bwd``)."""
+    return _forward_dispatch(constants, x, None, b, A, "auto")[1]
+
+
+def _apic_f_fwd(constants, x, b, A):
+    return (
+        _forward_dispatch(constants, x, None, b, A, "auto")[1],
+        (constants, x, b, A),
+    )
+
+
+def _apic_f_bwd(res, df):
+    constants, x, b, A = res
+    dx, _, db, dA = _apic_bwd_impl(constants, x, None, b, A, None, df)
+    return _zero_like_tree(constants), dx, db, dA
+
+
+apic_scatter_f.defvjp(_apic_f_fwd, _apic_f_bwd)

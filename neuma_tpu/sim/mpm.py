@@ -286,10 +286,35 @@ def p2g(
     method: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Particle-to-grid scatter (reference mpm.py:321-371). ``method``:
-    'matmul' (MXU tensor-product path), 'scatter', or 'auto' (matmul for
-    grids where the (N, G^2) intermediates stay reasonable)."""
-    if method == "auto":
-        method = "matmul" if constants.num_grids <= 96 else "scatter"
+
+    * 'auto' / 'blocked' — grid-blocked separable matmuls with a
+      closed-form 27-tap-gather VJP (``sim/blocked.py``); the fast
+      path at every grid size, and the only one that scales to the
+      real-capture 70^3 grids.
+    * 'matmul' — dense (full-grid) separable MXU path, differentiated
+      by AD through the matmul transposes.
+    * 'scatter' — XLA scatter-add baseline.
+    """
+    if method in ("auto", "blocked"):
+        from .blocked import apic_scatter
+
+        dtype = state.x.dtype
+        en = statics.enabled.astype(dtype)
+        mass = statics.vol * statics.rho * en
+        stress_term = (
+            -constants.dt
+            * statics.vol
+            * 4.0
+            * constants.inv_dx
+            * constants.inv_dx
+        )[:, None, None] * stress
+        affine = (
+            stress_term * en[:, None, None]
+            + mass[:, None, None] * state.C
+        )
+        b = mass[:, None] * state.v
+        grid_m, grid_f = apic_scatter(constants, state.x, mass, b, affine)
+        return grid_m, grid_f
     if method == "matmul":
         # Bound the (chunk, G^2) intermediates to ~32M elements.
         g2 = constants.num_grids ** 2
@@ -489,8 +514,15 @@ def _g2p_bwd(res, d):
     A_mat = kappa * (
         d.C + dt * jnp.einsum("nij,nkj->nik", d.F, state.F)
     )
-    d_grid = scatter_separable(
-        constants, state.x, enabled, b_vec, A_mat
+    from .blocked import _forward_dispatch
+
+    _, d_grid = _forward_dispatch(
+        constants,
+        state.x,
+        None,
+        enabled[:, None] * b_vec,
+        enabled[:, None, None] * A_mat,
+        "auto",
     )
 
     def zero_cotangent(v):
