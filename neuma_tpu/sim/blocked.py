@@ -82,26 +82,45 @@ def _spline(fx: jnp.ndarray):
 # forward: blocked
 # --------------------------------------------------------------------------
 
+def _fold_axis(x: jnp.ndarray, nb: int, block: int) -> jnp.ndarray:
+    """(..., nb, S, rest) -> (..., nb*block, rest): block cores
+    concatenate exactly (stride == block); only the 2-line tails overlap
+    into the next block's head. out[b*block + l] = sum_b' x[b', l'] with
+    b'*block + l' == b*block + l. Lines >= nb*block (only the last
+    block's tail, which is all-zero for in-range taps) are dropped."""
+    nbd = x.shape[-3]
+    core = x[..., :block, :]  # (..., nb, block, rest)
+    tail = x[..., block:, :]  # (..., nb, 2, rest)
+    pad = [(0, 0)] * x.ndim
+    pad[-2] = (0, block - 2)
+    tailpad = jnp.pad(tail, pad)  # (..., nb, block, rest)
+    # tail of block b lands at the head of block b+1
+    rollpad = [(0, 0)] * x.ndim
+    rollpad[-3] = (1, 0)
+    shifted = jnp.pad(tailpad, rollpad)[..., :-1, :, :]
+    out = core + shifted
+    return out.reshape(x.shape[:-3] + (nbd * block,) + x.shape[-1:])
+
+
 def _fold_blocks(pb: jnp.ndarray, g: int, nb: int, block: int) -> jnp.ndarray:
     """Fold per-block (NB, S, S, S, CH) buffers onto the (g, g, g, CH)
-    grid. Block origins are a static lattice, so the overlap (halo) add
-    is a short static loop of slice-adds per axis."""
+    grid: per axis, block cores reshape-concatenate and the 2-line halo
+    tails add one block over — pure reshapes/pads, no serialized
+    slice-add chain."""
     S = block + 2
     ch = pb.shape[-1]
-    dtype = pb.dtype
-    gp = (nb - 1) * block + S
     bl = pb.reshape(nb, nb, nb, S, S, S, ch)
-
-    z = jnp.zeros((nb, nb, S, S, gp, ch), dtype)
-    for k in range(nb):
-        z = z.at[:, :, :, :, k * block : k * block + S, :].add(bl[:, :, k])
-    y = jnp.zeros((nb, S, gp, gp, ch), dtype)
-    for j in range(nb):
-        y = y.at[:, :, j * block : j * block + S, :, :].add(z[:, j])
-    out = jnp.zeros((gp, gp, gp, ch), dtype)
-    for i in range(nb):
-        out = out.at[i * block : i * block + S].add(y[i])
-    return out[:g, :g, :g]
+    # fold z: (..., nb_z, S_z, ch) with nb_z at dim 2, S_z at dim 5
+    t = bl.transpose(0, 1, 3, 4, 2, 5, 6)  # (nb, nb, S, S, nb_z, S_z, ch)
+    t = _fold_axis(t, nb, block)  # (nb, nb, S, S, Gz, ch)
+    # fold y: nb_y at dim 1, S_y at dim 3
+    t = t.transpose(0, 2, 4, 1, 3, 5)  # (nb, S, Gz, nb_y, S_y, ch)
+    t = _fold_axis(t, nb, block)  # (nb, S, Gz, Gy, ch)
+    # fold x: nb_x at dim 0, S_x at dim 1
+    t = t.transpose(2, 3, 0, 1, 4)  # (Gz, Gy, nb_x, S_x, ch)
+    t = _fold_axis(t, nb, block)  # (Gz, Gy, Gx, ch)
+    t = t.transpose(2, 1, 0, 3)  # (Gx, Gy, Gz, ch)
+    return t[:g, :g, :g]
 
 
 def _blocked_forward(
@@ -247,7 +266,7 @@ def _tap_geometry(constants: MPMConstants, x: jnp.ndarray):
     return flat, W, gW, dpos
 
 
-def _apic_bwd_impl(
+def _apic_bwd_jnp(
     constants: MPMConstants,
     x: jnp.ndarray,
     gm: Optional[jnp.ndarray],
@@ -256,7 +275,8 @@ def _apic_bwd_impl(
     du: Optional[jnp.ndarray],
     df: jnp.ndarray,
 ):
-    """Cotangents of the APIC scatter w.r.t. (x, gm, b, A).
+    """Tap-space cotangent formulas via 27-tap gathers (CPU/fallback
+    path; on TPU the blocked Pallas gather kernel computes the same).
 
     Per particle, with u_o/r_o the gathered grid cotangents at tap o:
         d gm  = sum_o W_o u_o
@@ -266,25 +286,44 @@ def _apic_bwd_impl(
     where s_o = u_o gm + r_o . (b + A dpos_o) and cell indices are
     treated as piecewise constant (matching AD of the scatter path).
     """
+    prec = jax.lax.Precision.HIGHEST
     flat, W, gW, dpos = _tap_geometry(constants, x)
     r = df[flat]  # (N, 27, 3)
 
-    db = jnp.einsum("no,noi->ni", W, r)
-    dA = jnp.einsum("no,noi,noj->nij", W, r, dpos)
+    db = jnp.einsum("no,noi->ni", W, r, precision=prec)
+    dA = jnp.einsum("no,noi,noj->nij", W, r, dpos, precision=prec)
 
-    s = jnp.einsum("noi,noi->no", r, b[:, None, :] + jnp.einsum(
-        "nij,noj->noi", A, dpos
-    ))
+    s = jnp.einsum(
+        "noi,noi->no",
+        r,
+        b[:, None, :] + jnp.einsum("nij,noj->noi", A, dpos, precision=prec),
+        precision=prec,
+    )
     if du is not None and gm is not None:
         u = du[flat]  # (N, 27)
-        dgm = jnp.einsum("no,no->n", W, u)
+        dgm = jnp.einsum("no,no->n", W, u, precision=prec)
         s = s + u * gm[:, None]
     else:
         dgm = None
 
-    dx_w = constants.inv_dx * jnp.einsum("noa,no->na", gW, s)
-    dx_d = -jnp.einsum("no,nij,noi->nj", W, A, r)
+    dx_w = constants.inv_dx * jnp.einsum("noa,no->na", gW, s, precision=prec)
+    dx_d = -jnp.einsum("no,nij,noi->nj", W, A, r, precision=prec)
     return dx_w + dx_d, dgm, db, dA
+
+
+def _apic_bwd_impl(constants, x, gm, b, A, du, df):
+    """Backward dispatch: blocked Pallas gather kernel on TPU, tap-space
+    jnp gathers elsewhere."""
+    if jax.default_backend() == "tpu" and constants.num_grids > 24:
+        from .p2g_kernel import apic_gather_tpu
+
+        dx, dgm, db, dA = apic_gather_tpu(
+            constants, x, gm, b, A, df, du, derivs=True
+        )
+        if du is None or gm is None:
+            dgm = None
+        return dx, dgm, db, dA
+    return _apic_bwd_jnp(constants, x, gm, b, A, du, df)
 
 
 # --------------------------------------------------------------------------

@@ -423,6 +423,78 @@ def grid_op(
     return v
 
 
+@jax.custom_vjp
+def g2p_core(
+    constants: MPMConstants,
+    x: jnp.ndarray,
+    grid_v: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The two tap-contractions of G2P (reference mpm.py:432-475):
+
+        new_v = sum_o W_o grid_v[cell_o]
+        new_C = kappa * sum_o W_o grid_v[cell_o] (x) dpos_o
+
+    On TPU this runs the blocked Pallas gather kernel
+    (``p2g_kernel.apic_gather_tpu`` with the grid-velocity slab); the
+    custom VJP routes the grid cotangent through the blocked scatter
+    (``blocked._forward_dispatch`` with b = v-cot, A = kappa * C-cot —
+    the exact transpose) and the position cotangent through the same
+    gather kernel's derivative outputs. Everything downstream (F
+    update, advection, clamp, enabled freeze) is plain AD.
+    """
+    return _g2p_core_fwd_impl(constants, x, grid_v)
+
+
+def _g2p_core_fwd_impl(constants, x, grid_v):
+    kappa = 4.0 * constants.inv_dx * constants.inv_dx
+    if jax.default_backend() == "tpu" and constants.num_grids > 24:
+        from .p2g_kernel import apic_gather_tpu
+
+        zeros3 = jnp.zeros_like(x)
+        zeros33 = jnp.zeros(x.shape + (3,), x.dtype)
+        _, _, new_v, dA = apic_gather_tpu(
+            constants, x, None, zeros3, zeros33, grid_v, None, derivs=False
+        )
+        return new_v, kappa * dA
+    prec = jax.lax.Precision.HIGHEST
+    _, weight, dpos, flat_idx = _stencil(constants, x)
+    v_taps = grid_v[flat_idx]  # (N, 27, 3)
+    new_v = jnp.einsum("no,noi->ni", weight, v_taps, precision=prec)
+    new_C = kappa * jnp.einsum(
+        "no,noi,noj->nij", weight, v_taps, dpos, precision=prec
+    )
+    return new_v, new_C
+
+
+def _g2p_core_fwd(constants, x, grid_v):
+    out = _g2p_core_fwd_impl(constants, x, grid_v)
+    return out, (constants, x, grid_v)
+
+
+def _g2p_core_bwd(res, cot):
+    constants, x, grid_v = res
+    dv, dC = cot
+    kappa = 4.0 * constants.inv_dx * constants.inv_dx
+    from .blocked import _apic_bwd_impl, _forward_dispatch
+
+    A = kappa * dC
+    _, d_grid = _forward_dispatch(constants, x, None, dv, A, "auto")
+    # Position cotangent: same tap-contraction structure with the
+    # grid-velocity slab (b = dv, A = kappa dC).
+    d_x, _, _, _ = _apic_bwd_impl(constants, x, None, dv, A, None, grid_v)
+
+    def zero_cotangent(v):
+        if jnp.issubdtype(v.dtype, jnp.integer):
+            return np.zeros(v.shape, jax.dtypes.float0)
+        return jnp.zeros_like(v)
+
+    d_constants = jax.tree_util.tree_map(zero_cotangent, constants)
+    return d_constants, d_x, d_grid
+
+
+g2p_core.defvjp(_g2p_core_fwd, _g2p_core_bwd)
+
+
 def _g2p_impl(
     constants: MPMConstants,
     statics: Statics,
@@ -430,19 +502,14 @@ def _g2p_impl(
     grid_v: jnp.ndarray,
 ) -> ParticleState:
     """Grid-to-particle gather + F update + advection (reference
-    mpm.py:432-498)."""
+    mpm.py:432-498). Differentiable end to end: the tap contractions
+    live in ``g2p_core`` (custom VJP, blocked kernels); the rest is
+    plain AD."""
     dx = constants.dx
-    inv_dx = constants.inv_dx
     dt = constants.dt
     enabled = (statics.enabled > 0)[:, None]
 
-    _, weight, dpos, flat_idx = _stencil(constants, state.x)
-
-    v_taps = grid_v[flat_idx]  # (N, 27, 3)
-    new_v = jnp.einsum("no,noi->ni", weight, v_taps)
-    new_C = (4.0 * inv_dx * inv_dx) * jnp.einsum(
-        "no,noi,noj->nij", weight, v_taps, dpos
-    )
+    new_v, new_C = g2p_core(constants, state.x, grid_v)
 
     eye = jnp.eye(3, dtype=state.x.dtype)
     new_F = (eye + dt * new_C) @ state.F
@@ -462,80 +529,15 @@ def _g2p_impl(
     )
 
 
-@jax.custom_vjp
 def g2p(
     constants: MPMConstants,
     statics: Statics,
     state: ParticleState,
     grid_v: jnp.ndarray,
 ) -> ParticleState:
-    """``_g2p_impl`` with a custom VJP: the grid-velocity cotangent (the
-    transpose of the 27-tap gather — a scatter, slow on TPU) is computed
-    with the separable-matmul scatter instead. Hand-derived chain:
-
-        d grid_v[tap] = w_tap * [ v_cot + dt*(clamp_mask o x_cot)
-                                  + kappa * (C_cot + dt * F_cot @ F^T)
-                                    @ dpos_tap ]
-
-    which is exactly the ``scatter_separable`` form. Particle-side
-    cotangents are delegated to AD with the grid held constant."""
+    """Grid-to-particle transfer. Plain function over ``g2p_core``; see
+    ``_g2p_impl``."""
     return _g2p_impl(constants, statics, state, grid_v)
-
-
-def _g2p_fwd(constants, statics, state, grid_v):
-    out = _g2p_impl(constants, statics, state, grid_v)
-    return out, (constants, statics, state, grid_v)
-
-
-def _g2p_bwd(res, d):
-    constants, statics, state, grid_v = res
-
-    # Particle/state cotangents via AD (gathers only, no scatters).
-    _, vjp_fn = jax.vjp(
-        lambda st: _g2p_impl(constants, statics, st, grid_v), state
-    )
-    (d_state,) = vjp_fn(d)
-
-    # Grid cotangent via the separable matmul scatter.
-    dt = constants.dt
-    dx = constants.dx
-    kappa = 4.0 * constants.inv_dx * constants.inv_dx
-    enabled = (statics.enabled > 0).astype(state.x.dtype)
-
-    # Recompute new_v for the advection clamp pass-through mask.
-    _, weight, dpos, flat_idx = _stencil(constants, state.x)
-    v_taps = grid_v[flat_idx]
-    new_v = jnp.einsum("no,noi->ni", weight, v_taps)
-    pre = state.x + dt * new_v
-    clip = (statics.clip_bound * dx)[:, None]
-    mask = ((pre >= clip) & (pre <= 1.0 - clip)).astype(state.x.dtype)
-
-    b_vec = d.v + dt * (mask * d.x)
-    A_mat = kappa * (
-        d.C + dt * jnp.einsum("nij,nkj->nik", d.F, state.F)
-    )
-    from .blocked import _forward_dispatch
-
-    _, d_grid = _forward_dispatch(
-        constants,
-        state.x,
-        None,
-        enabled[:, None] * b_vec,
-        enabled[:, None, None] * A_mat,
-        "auto",
-    )
-
-    def zero_cotangent(v):
-        if jnp.issubdtype(v.dtype, jnp.integer):
-            return np.zeros(v.shape, jax.dtypes.float0)
-        return jnp.zeros_like(v)
-
-    d_statics = jax.tree_util.tree_map(zero_cotangent, statics)
-    d_constants = jax.tree_util.tree_map(zero_cotangent, constants)
-    return d_constants, d_statics, d_state, d_grid
-
-
-g2p.defvjp(_g2p_fwd, _g2p_bwd)
 
 
 def mpm_step(

@@ -275,3 +275,310 @@ def p2g_blocked_pallas(
     grid_f = grid[:, :3]
     grid_m = grid[:, 3] if gm is not None else None
     return grid_m, grid_f
+
+
+# --------------------------------------------------------------------------
+# gather/contraction kernel: the transpose structure
+# --------------------------------------------------------------------------
+#
+# One kernel serves three roles (identical contraction structure):
+#   * p2g backward: slab = (f-cotangent, m-cotangent), payload carries the
+#     forward (gm, b_eff, a_cols) -> outputs (dgm, db, dA, dx)
+#   * g2p forward:  slab = (grid_v, 0), zero (gm, b, A), derivs=False ->
+#     db IS new_v and dA IS new_C / (4 inv_dx^2)
+#   * g2p backward (position path): slab = (grid_v, 0), payload carries
+#     (b = v-cotangent, A = kappa * C-cotangent) -> dx is the position
+#     cotangent through the spline weights + dpos
+#
+# Per particle with slab values r_o (3) / u_o (1) at tap o:
+#   dgm  = sum_o W_o u_o
+#   db   = sum_o W_o r_o
+#   dA   = sum_o W_o r_o (x) dpos_o
+#   dx_a = inv_dx * sum_o (dW/dfx_a)_o s_o  -  sum_o W_o (A^T r_o)_a
+#   s_o  = u_o gm + r_o . (b_eff + sum_c a_col_c o_c)
+# Each tap-sum sum_o ax_i ay_j az_k T[cell_o] factorizes as
+#   rowsum( xy_onehot(C, S^2) * dot(az_onehot (C,S), slab (4 S^2, S)^T)[ch] )
+# — the z contraction rides the MXU, x/y live on the 256-lane dim.
+
+_OUT_COLS = 16  # dgm | db (3) | dA (9) | dx (3)
+
+
+def _make_gather_kernel(derivs: bool, inv_dx: float):
+    dxc = 1.0 / inv_dx
+
+    def kernel(c2b_ref, p_ref, slab_ref, out_ref):
+        C = p_ref.shape[0]
+        f32 = jnp.float32
+
+        def col(j):
+            return p_ref[:, j][:, None]
+
+        if True:
+            # (4, S, S, S) -> (S, 4*S*S): z-lines as contraction rows.
+            # The transpose buys the canonical (C,S)@(S,K) dot form —
+            # the ((1,),(1,)) contraction silently ignores HIGHEST
+            # precision on v5e (bf16 passes, ~4e-3 error after the
+            # dpos cancellation).
+            slabT = slab_ref[0].reshape(4 * S * S, S).T
+
+            idxS = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
+            q = jax.lax.broadcasted_iota(jnp.int32, (C, S * S), 1)
+            qdiv = q >> 4
+            qmod = q & (S - 1)
+
+            # per-axis one-hot factors
+            def factors(axis, pattern):
+                w0, l0, d0 = _W0 + 3 * axis, _L0 + 3 * axis, _WD0 + 3 * axis
+                fxa = col(_FX0 + axis)
+                plain = jnp.zeros((C, S * S), f32)
+                off = jnp.zeros((C, S * S), f32)
+                dpos = jnp.zeros((C, S * S), f32)
+                der = jnp.zeros((C, S * S), f32) if derivs else None
+                der_off = jnp.zeros((C, S * S), f32) if derivs else None
+                for t in range(3):
+                    oh = (pattern == col(l0 + t).astype(jnp.int32)).astype(f32)
+                    w = col(w0 + t)
+                    plain += w * oh
+                    if t:
+                        off += float(t) * w * oh
+                    # (t - fx) weighting per tap: dA without the
+                    # catastrophic (P_off - fx*db) cancellation
+                    dpos += (float(t) - fxa) * w * oh
+                    if derivs:
+                        wd = col(d0 + t)
+                        der += wd * oh
+                        if t:
+                            der_off += float(t) * wd * oh
+                return plain, off, dpos, der, der_off
+
+            X, Xi, Xp, Xd, Xdi = factors(0, qdiv)
+            Y, Yj, Yp, Yd, Ydj = factors(1, qmod)
+
+            # z one-hots at (C, S) for the MXU contraction
+            Z = jnp.zeros((C, S), f32)
+            Zk = jnp.zeros((C, S), f32)
+            Zp = jnp.zeros((C, S), f32)
+            Zd = jnp.zeros((C, S), f32) if derivs else None
+            Zdk = jnp.zeros((C, S), f32) if derivs else None
+            fz = col(_FX0 + 2)
+            for t in range(3):
+                oh = (idxS == col(_L0 + 6 + t).astype(jnp.int32)).astype(f32)
+                w = col(_W0 + 6 + t)
+                Z += w * oh
+                if t:
+                    Zk += float(t) * w * oh
+                Zp += (float(t) - fz) * w * oh
+                if derivs:
+                    wd = col(_WD0 + 6 + t)
+                    Zd += wd * oh
+                    if t:
+                        Zdk += float(t) * wd * oh
+
+            def zdot(zmat):
+                return jax.lax.dot_general(
+                    zmat,
+                    slabT,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (C, 4*S*S); channel ch at cols [ch*S*S:(ch+1)*S*S]
+
+            Tz = zdot(Z)
+            Tzk = zdot(Zk)
+            Tzp = zdot(Zp)
+            Tzd = zdot(Zd) if derivs else None
+            Tzdk = zdot(Zdk) if derivs else None
+
+            def red(xy, T, ch):
+                return jnp.sum(
+                    xy * T[:, ch * S * S : (ch + 1) * S * S],
+                    axis=1,
+                    keepdims=True,
+                )
+
+            xy = X * Y
+            xy_ix = Xi * Y
+            xy_jy = X * Yj
+            xy_px = Xp * Y
+            xy_py = X * Yp
+
+            db = [red(xy, Tz, r) for r in range(3)]
+            dgm = red(xy, Tz, 3)
+            out_ref[:, 0] = dgm[:, 0]
+            for r in range(3):
+                out_ref[:, 1 + r] = db[r][:, 0]
+                # dA[r, c] = dx * sum_o W (t_c - fx_c) r  — the (t - fx)
+                # weighting lives inside the one-hot factor, so no
+                # O(1)-O(1) cancellation
+                out_ref[:, 4 + 3 * r + 0] = (dxc * red(xy_px, Tz, r))[:, 0]
+                out_ref[:, 4 + 3 * r + 1] = (dxc * red(xy_py, Tz, r))[:, 0]
+                out_ref[:, 4 + 3 * r + 2] = (dxc * red(xy, Tzp, r))[:, 0]
+
+            if not derivs:
+                out_ref[:, 13] = jnp.zeros((C,), f32)
+                out_ref[:, 14] = jnp.zeros((C,), f32)
+                out_ref[:, 15] = jnp.zeros((C,), f32)
+                return
+
+            xy_dx = Xd * Y
+            xy_dix = Xdi * Y
+            xy_dx_jy = Xd * Yj
+            xy_dy = X * Yd
+            xy_ix_dy = Xi * Yd
+            xy_djy = X * Ydj
+
+            gmc = col(_GM)
+            dxv = []
+            # deriv axis x
+            acc = gmc * red(xy_dx, Tz, 3)
+            for r in range(3):
+                acc += col(_BE0 + r) * red(xy_dx, Tz, r)
+                acc += col(_AC0 + 3 * r + 0) * red(xy_dix, Tz, r)
+                acc += col(_AC0 + 3 * r + 1) * red(xy_dx_jy, Tz, r)
+                acc += col(_AC0 + 3 * r + 2) * red(xy_dx, Tzk, r)
+            dxv.append(acc)
+            # deriv axis y
+            acc = gmc * red(xy_dy, Tz, 3)
+            for r in range(3):
+                acc += col(_BE0 + r) * red(xy_dy, Tz, r)
+                acc += col(_AC0 + 3 * r + 0) * red(xy_ix_dy, Tz, r)
+                acc += col(_AC0 + 3 * r + 1) * red(xy_djy, Tz, r)
+                acc += col(_AC0 + 3 * r + 2) * red(xy_dy, Tzk, r)
+            dxv.append(acc)
+            # deriv axis z
+            acc = gmc * red(xy, Tzd, 3)
+            for r in range(3):
+                acc += col(_BE0 + r) * red(xy, Tzd, r)
+                acc += col(_AC0 + 3 * r + 0) * red(xy_ix, Tzd, r)
+                acc += col(_AC0 + 3 * r + 1) * red(xy_jy, Tzd, r)
+                acc += col(_AC0 + 3 * r + 2) * red(xy, Tzdk, r)
+            dxv.append(acc)
+
+            for a in range(3):
+                # minus term: - sum_i A[i, a] db_i  (A = a_cols / dx)
+                minus = jnp.zeros((C, 1), f32)
+                for i2 in range(3):
+                    minus += col(_AC0 + 3 * i2 + a) * db[i2]
+                out_ref[:, 13 + a] = (
+                    inv_dx * dxv[a] - inv_dx * minus
+                )[:, 0]
+
+    return kernel
+
+
+def _unfold_axis(x: jnp.ndarray, nb: int) -> jnp.ndarray:
+    """(..., nb*BLOCK + 2, rest) -> (..., nb, S, rest): slab b covers
+    lines [b*BLOCK, b*BLOCK + S) — block core (reshape) plus the next
+    block's first two lines (shifted reshape). Inverse of
+    ``blocked._fold_axis``; pure reshapes/pads."""
+    B = BLOCK
+    core = x[..., : nb * B, :]
+    core = core.reshape(x.shape[:-2] + (nb, B) + x.shape[-1:])
+    head = x[..., B:, :]  # (..., (nb-1)*B + 2, rest)
+    pad = [(0, 0)] * x.ndim
+    pad[-2] = (0, B - 2)
+    head = jnp.pad(head, pad).reshape(
+        x.shape[:-2] + (nb, B) + x.shape[-1:]
+    )[..., :2, :]
+    return jnp.concatenate([core, head], axis=-2)
+
+
+def unfold_blocks(grid_ch: jnp.ndarray, g: int, nb: int) -> jnp.ndarray:
+    """(g^3, ch) grid -> per-block (nb^3, 4, S, S, S) slabs (the inverse
+    of ``blocked._fold_blocks``): slab[b] covers grid lines
+    ``[b*BLOCK, b*BLOCK + S)`` per axis, zero-padded past the boundary.
+    Pure reshape/pad axis unfolds."""
+    ch = grid_ch.shape[1]
+    gp = nb * BLOCK + 2
+    arr = jnp.moveaxis(grid_ch.reshape(g, g, g, ch), -1, 0)
+    if ch < 4:
+        arr = jnp.pad(arr, ((0, 4 - ch), (0, 0), (0, 0), (0, 0)))
+    arr = jnp.pad(arr, ((0, 0),) + ((0, gp - g),) * 3)  # (4, gp, gp, gp)
+    t = _unfold_axis(arr[..., None], nb)  # (4, gp, gp, nbz, Sz, 1)
+    t = t.reshape(4, gp, gp, nb * S)
+    t = _unfold_axis(t, nb)  # (4, gp, nby, Sy, nbz*Sz)
+    t = t.reshape(4, gp, nb * S * nb * S)
+    t = _unfold_axis(t, nb)  # (4, nbx, Sx, nby*Sy*nbz*Sz)
+    t = t.reshape(4, nb, S, nb, S, nb, S)
+    t = t.transpose(1, 3, 5, 0, 2, 4, 6)
+    return t.reshape(nb ** 3, 4, S, S, S)
+
+
+def run_apic_gather(
+    payload: jnp.ndarray,
+    slabs: jnp.ndarray,
+    c2b: jnp.ndarray,
+    M: int,
+    inv_dx: float,
+    derivs: bool,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """payload (M*C, 48), slabs (NB, 4, S, S, S), c2b (M,) ->
+    per-slot results (M*C, 16). Consecutive chunks of the same block
+    reuse the resident slab (Pallas skips the reload when the block
+    index is unchanged)."""
+    C = payload.shape[0] // M
+    kernel = _make_gather_kernel(derivs, inv_dx)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(M,),
+        in_specs=[
+            pl.BlockSpec(
+                (C, _COLS), lambda i, c2b: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 4, S, S, S),
+                lambda i, c2b: (c2b[i], 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (C, _OUT_COLS), lambda i, c2b: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M * C, _OUT_COLS), jnp.float32),
+        interpret=interpret,
+    )(c2b, payload, slabs)
+    return out
+
+
+GATHER_CHUNK = 256  # smaller chunk: the derivs kernel holds ~30 (C, S^2) live
+
+
+def apic_gather_tpu(
+    constants: MPMConstants,
+    x: jnp.ndarray,
+    gm: Optional[jnp.ndarray],
+    b: jnp.ndarray,
+    A: jnp.ndarray,
+    df: jnp.ndarray,
+    du: Optional[jnp.ndarray],
+    derivs: bool = True,
+    interpret: bool = False,
+):
+    """Blocked tap-gather: returns per-particle (dx (N,3), dgm (N,),
+    db (N,3), dA (N,3,3)) against slab channels (df, du)."""
+    n = x.shape[0]
+    g = constants.num_grids
+    layout, base, fx, loc = build_chunk_layout(constants, x, chunk=GATHER_CHUNK)
+    payload = pack_payload(constants, layout, fx, loc, gm, b, A)
+    grid_ch = df if du is None else jnp.concatenate([df, du[:, None]], axis=1)
+    slabs = unfold_blocks(grid_ch, g, layout.nb)
+    out = run_apic_gather(
+        payload,
+        slabs,
+        layout.c2b,
+        layout.num_chunks,
+        float(constants.inv_dx),
+        derivs,
+        interpret=interpret,
+    )
+    res = out[layout.dest]  # (N, 16)
+    dgm = res[:, 0] if du is not None else None
+    db = res[:, 1:4]
+    dA = res[:, 4:13].reshape(n, 3, 3)
+    dx = res[:, 13:16]
+    return dx, dgm, db, dA
