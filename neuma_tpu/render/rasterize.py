@@ -253,8 +253,12 @@ def _build_tile_lists(
     valid_pair = pair_idx < offsets[-1]
     k = pair_idx - starts[gid_c]
     tw = jnp.maximum(w_t[gid_c], 1)
-    tile_x = x0s[gid_c] + (k % tw)
-    tile_y = y0s[gid_c] + (k // tw)
+    # Exact f32 division (no TPU integer divide); see _build_aligned_pairs.
+    ky = jnp.floor(k.astype(jnp.float32) / tw.astype(jnp.float32)).astype(
+        jnp.int32
+    )
+    tile_x = x0s[gid_c] + (k - ky * tw)
+    tile_y = y0s[gid_c] + ky
     tile_id = jnp.where(valid_pair, tile_y * tiles_x + tile_x, num_tiles)
 
     sorted_tile, sorted_gid = _sort_pairs_by_tile(
@@ -322,8 +326,15 @@ def _build_aligned_pairs(
     valid_pair = pair_idx < offsets[-1]
     k = pair_idx - starts[gid_c]
     tw = jnp.maximum(w_t[gid_c], 1)
-    tile_x = x0s[gid_c] + (k % tw)
-    tile_y = y0s[gid_c] + (k // tw)
+    # k // tw via exact f32 division (TPUs have no integer divide; a
+    # variable-divisor int div expands to a multi-op sequence). Both
+    # operands are exact in f32 (< 2^24) and tw >= 1, so floor of the
+    # correctly-rounded quotient is the true integer quotient.
+    ky = jnp.floor(k.astype(jnp.float32) / tw.astype(jnp.float32)).astype(
+        jnp.int32
+    )
+    tile_x = x0s[gid_c] + (k - ky * tw)
+    tile_y = y0s[gid_c] + ky
     tile_id = jnp.where(valid_pair, tile_y * tiles_x + tile_x, num_tiles)
 
     sorted_tile, sorted_gid = _sort_pairs_by_tile(
@@ -342,28 +353,37 @@ def _build_aligned_pairs(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned).astype(jnp.int32)]
     )
 
-    # slot -> tile mapping via scatter + cummax run-fill. Tile ranges are
-    # CHUNK-aligned, so the fill runs at BLOCK granularity (P/CHUNK
-    # elements) and expands with a cheap gather. Empty tiles (aligned
-    # count 0) share the next tile's start — route them to the dummy
-    # slot; runs of empties resolve to the next non-empty tile, whose
-    # count test then masks them out.
+    # slot -> tile mapping via scatter + cummax run-fill at BLOCK
+    # granularity (tile ranges are CHUNK-aligned). All per-slot values
+    # are then (num_blocks, CHUNK) broadcasts of per-block scalars —
+    # no per-pair gathers except the single fused id lookup. Empty
+    # tiles (aligned count 0) share the next tile's start — route them
+    # to the dummy slot; runs of empties resolve to the next non-empty
+    # tile, whose count test then masks them out.
     P = cfg.max_pairs + CHUNK * num_tiles
-    pos = jnp.arange(P, dtype=jnp.int32)
     num_blocks = P // CHUNK
     blk_of_tile = tile_start[:-1] // CHUNK
     b_scatter = jnp.where(aligned > 0, blk_of_tile, num_blocks)
     b_marks = jnp.zeros(num_blocks + 1, jnp.int32).at[b_scatter].max(
         jnp.arange(num_tiles, dtype=jnp.int32)
     )[:num_blocks]
-    tile_of_block = jax.lax.cummax(b_marks)
-    tile_of = tile_of_block[pos // CHUNK]
-    slot = pos - tile_start[tile_of]
-    in_tile = (slot >= 0) & (slot < counts[tile_of]) & (
-        pos < tile_start[-1]
+    tile_of_block = jax.lax.cummax(b_marks)  # (num_blocks,)
+    # Per-block scalars (small gathers over num_blocks rows).
+    tstart_b = tile_start[tile_of_block][:, None]
+    counts_b = counts[tile_of_block][:, None]
+    rawstart_b = raw_start[tile_of_block][:, None]
+    pos_mat = (
+        jnp.arange(num_blocks, dtype=jnp.int32)[:, None] * CHUNK
+        + jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
     )
-    src = jnp.clip(raw_start[tile_of] + slot, 0, cfg.max_pairs - 1)
-    pair_gid = jnp.where(in_tile, order[sorted_gid[src]], 0)
+    slot_mat = pos_mat - tstart_b
+    in_tile = (
+        (slot_mat >= 0) & (slot_mat < counts_b) & (pos_mat < tile_start[-1])
+    )
+    src = jnp.clip(rawstart_b + slot_mat, 0, cfg.max_pairs - 1)
+    orig_gid = order[sorted_gid]  # fuse the two id indirections
+    pair_gid = jnp.where(in_tile, orig_gid[src], 0).reshape(P)
+    in_tile = in_tile.reshape(P)
     # Name the (small, integer) pair layout so rollout remat policies can
     # SAVE it instead of re-running the sorts (see train/grounding.py).
     from jax.ad_checkpoint import checkpoint_name
