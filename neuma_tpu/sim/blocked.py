@@ -131,9 +131,10 @@ def _blocked_forward(
     A: jnp.ndarray,
     block: int = BLOCK,
     chunk: int = CHUNK,
+    sort=None,
 ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:
     """Blocked separable scatter. Returns (grid_m (G^3,) or None,
-    grid_f (G^3, 3))."""
+    grid_f (G^3, 3)). ``sort`` is a shared ``p2g_kernel.BlockSort``."""
     g = constants.num_grids
     nb = _cdiv(g, block)
     NB = nb ** 3
@@ -143,31 +144,19 @@ def _blocked_forward(
     M = _cdiv(n, C) + NB
     dtype = x.dtype
 
-    p_x = x * constants.inv_dx
-    base = jnp.floor(p_x - 0.5).astype(jnp.int32)
-    fx = p_x - base.astype(dtype)
-    w, _ = _spline(fx)  # (N, 3, 3)
+    if sort is None:
+        from .p2g_kernel import block_sort
 
-    blk = jnp.clip(base, 0, g - 1) // block  # (N, 3)
-    bid = (blk[:, 0] * nb + blk[:, 1]) * nb + blk[:, 2]
-    # Local tap grid lines, with the same edge clamp as the scatter path.
-    taps = jnp.clip(
-        base[:, :, None] + jnp.arange(3, dtype=jnp.int32)[None, None, :],
-        0,
-        g - 1,
-    )
-    loc = taps - (blk * block)[:, :, None]  # (N, 3 axes, 3 taps) in [0, S)
+        sort = block_sort(constants, x, block)
+    fx, loc = sort.fx, sort.loc
+    w, _ = _spline(fx)  # (N, 3, 3)
 
     dxc = constants.dx
     b_eff = b - jnp.einsum("nij,nj->ni", A, fx) * dxc
     a_cols = A * dxc  # (N, 3, 3); column c scales local tap offset c
 
-    # -- sort by block id, build the static-size chunk table -------------
-    perm = jnp.argsort(bid)
-    sbid = bid[perm]
-    bins = jnp.arange(NB, dtype=sbid.dtype)
-    bstart = jnp.searchsorted(sbid, bins, side="left")
-    counts = jnp.searchsorted(sbid, bins, side="right") - bstart
+    # -- carve the shared block-sorted order into C-sized chunks ---------
+    perm, bstart, counts = sort.perm, sort.bstart, sort.counts
     nchunk = (counts + C - 1) // C
     cum = jnp.cumsum(nchunk)
     cid = jnp.arange(M, dtype=jnp.int32)
@@ -311,14 +300,15 @@ def _apic_bwd_jnp(
     return dx_w + dx_d, dgm, db, dA
 
 
-def _apic_bwd_impl(constants, x, gm, b, A, du, df):
+def _apic_bwd_impl(constants, x, gm, b, A, du, df, sort=None):
     """Backward dispatch: blocked Pallas gather kernel on TPU, tap-space
-    jnp gathers elsewhere."""
+    jnp gathers elsewhere. ``sort`` (a shared ``BlockSort``) skips the
+    per-call re-sort on the kernel path."""
     if jax.default_backend() == "tpu" and constants.num_grids > 24:
         from .p2g_kernel import apic_gather_tpu
 
         dx, dgm, db, dA = apic_gather_tpu(
-            constants, x, gm, b, A, df, du, derivs=True
+            constants, x, gm, b, A, df, du, derivs=True, sort=sort
         )
         if du is None or gm is None:
             dgm = None
@@ -354,15 +344,15 @@ def _dense_forward(
     return grid_m, grid_f
 
 
-def _forward_dispatch(constants, x, gm, b, A, method: str):
+def _forward_dispatch(constants, x, gm, b, A, method: str, sort=None):
     if method == "auto":
         method = "blocked" if constants.num_grids > 24 else "dense"
     if method == "blocked":
         if jax.default_backend() == "tpu":
             from .p2g_kernel import p2g_blocked_pallas
 
-            return p2g_blocked_pallas(constants, x, gm, b, A)
-        return _blocked_forward(constants, x, gm, b, A)
+            return p2g_blocked_pallas(constants, x, gm, b, A, sort=sort)
+        return _blocked_forward(constants, x, gm, b, A, sort=sort)
     return _dense_forward(constants, x, gm, b, A)
 
 
@@ -377,19 +367,21 @@ def apic_scatter(
     gm: jnp.ndarray,
     b: jnp.ndarray,
     A: jnp.ndarray,
+    sort=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mass + momentum APIC scatter:
         grid_m[c] += W_c(x) * gm
         grid_f[c] += W_c(x) * (b + A @ dpos_c)
     Returns (grid_m (G^3,), grid_f (G^3, 3)). Forward runs the blocked
     separable matmul path; backward is the closed-form 27-tap gather.
+    ``sort`` shares one ``BlockSort`` of ``x`` across the whole step.
     """
-    return _forward_dispatch(constants, x, gm, b, A, "auto")
+    return _forward_dispatch(constants, x, gm, b, A, "auto", sort)
 
 
-def _apic_fwd(constants, x, gm, b, A):
-    out = _forward_dispatch(constants, x, gm, b, A, "auto")
-    return out, (constants, x, gm, b, A)
+def _apic_fwd(constants, x, gm, b, A, sort=None):
+    out = _forward_dispatch(constants, x, gm, b, A, "auto", sort)
+    return out, (constants, x, gm, b, A, sort)
 
 
 def _zero_like_tree(tree):
@@ -402,10 +394,17 @@ def _zero_like_tree(tree):
 
 
 def _apic_bwd(res, cot):
-    constants, x, gm, b, A = res
+    constants, x, gm, b, A, sort = res
     du, df = cot
-    dx, dgm, db, dA = _apic_bwd_impl(constants, x, gm, b, A, du, df)
-    return _zero_like_tree(constants), dx, dgm, db, dA
+    dx, dgm, db, dA = _apic_bwd_impl(constants, x, gm, b, A, du, df, sort)
+    return (
+        _zero_like_tree(constants),
+        dx,
+        dgm,
+        db,
+        dA,
+        _zero_like_tree(sort),
+    )
 
 
 apic_scatter.defvjp(_apic_fwd, _apic_bwd)
@@ -417,24 +416,25 @@ def apic_scatter_f(
     x: jnp.ndarray,
     b: jnp.ndarray,
     A: jnp.ndarray,
+    sort=None,
 ) -> jnp.ndarray:
     """Momentum-only APIC scatter (no mass channel):
         grid_f[c] += W_c(x) * (b + A @ dpos_c)
     Used for the G2P grid cotangent (``mpm._g2p_bwd``)."""
-    return _forward_dispatch(constants, x, None, b, A, "auto")[1]
+    return _forward_dispatch(constants, x, None, b, A, "auto", sort)[1]
 
 
-def _apic_f_fwd(constants, x, b, A):
+def _apic_f_fwd(constants, x, b, A, sort=None):
     return (
-        _forward_dispatch(constants, x, None, b, A, "auto")[1],
-        (constants, x, b, A),
+        _forward_dispatch(constants, x, None, b, A, "auto", sort)[1],
+        (constants, x, b, A, sort),
     )
 
 
 def _apic_f_bwd(res, df):
-    constants, x, b, A = res
-    dx, _, db, dA = _apic_bwd_impl(constants, x, None, b, A, None, df)
-    return _zero_like_tree(constants), dx, db, dA
+    constants, x, b, A, sort = res
+    dx, _, db, dA = _apic_bwd_impl(constants, x, None, b, A, None, df, sort)
+    return _zero_like_tree(constants), dx, db, dA, _zero_like_tree(sort)
 
 
 apic_scatter_f.defvjp(_apic_f_fwd, _apic_f_bwd)

@@ -284,6 +284,7 @@ def p2g(
     state: ParticleState,
     stress: jnp.ndarray,
     method: str = "auto",
+    sort=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Particle-to-grid scatter (reference mpm.py:321-371). ``method``:
 
@@ -294,6 +295,9 @@ def p2g(
     * 'matmul' — dense (full-grid) separable MXU path, differentiated
       by AD through the matmul transposes.
     * 'scatter' — XLA scatter-add baseline.
+
+    ``sort`` optionally shares one ``BlockSort`` of ``state.x`` across
+    p2g/g2p within a step (see ``mpm_step``).
     """
     if method in ("auto", "blocked"):
         from .blocked import apic_scatter
@@ -313,7 +317,9 @@ def p2g(
             + mass[:, None, None] * state.C
         )
         b = mass[:, None] * state.v
-        grid_m, grid_f = apic_scatter(constants, state.x, mass, b, affine)
+        grid_m, grid_f = apic_scatter(
+            constants, state.x, mass, b, affine, sort
+        )
         return grid_m, grid_f
     if method == "matmul":
         # Bound the (chunk, G^2) intermediates to ~32M elements.
@@ -428,6 +434,7 @@ def g2p_core(
     constants: MPMConstants,
     x: jnp.ndarray,
     grid_v: jnp.ndarray,
+    sort=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The two tap-contractions of G2P (reference mpm.py:432-475):
 
@@ -442,10 +449,10 @@ def g2p_core(
     gather kernel's derivative outputs. Everything downstream (F
     update, advection, clamp, enabled freeze) is plain AD.
     """
-    return _g2p_core_fwd_impl(constants, x, grid_v)
+    return _g2p_core_fwd_impl(constants, x, grid_v, sort)
 
 
-def _g2p_core_fwd_impl(constants, x, grid_v):
+def _g2p_core_fwd_impl(constants, x, grid_v, sort=None):
     kappa = 4.0 * constants.inv_dx * constants.inv_dx
     if jax.default_backend() == "tpu" and constants.num_grids > 24:
         from .p2g_kernel import apic_gather_tpu
@@ -453,7 +460,8 @@ def _g2p_core_fwd_impl(constants, x, grid_v):
         zeros3 = jnp.zeros_like(x)
         zeros33 = jnp.zeros(x.shape + (3,), x.dtype)
         _, _, new_v, dA = apic_gather_tpu(
-            constants, x, None, zeros3, zeros33, grid_v, None, derivs=False
+            constants, x, None, zeros3, zeros33, grid_v, None,
+            derivs=False, sort=sort,
         )
         return new_v, kappa * dA
     prec = jax.lax.Precision.HIGHEST
@@ -466,22 +474,24 @@ def _g2p_core_fwd_impl(constants, x, grid_v):
     return new_v, new_C
 
 
-def _g2p_core_fwd(constants, x, grid_v):
-    out = _g2p_core_fwd_impl(constants, x, grid_v)
-    return out, (constants, x, grid_v)
+def _g2p_core_fwd(constants, x, grid_v, sort=None):
+    out = _g2p_core_fwd_impl(constants, x, grid_v, sort)
+    return out, (constants, x, grid_v, sort)
 
 
 def _g2p_core_bwd(res, cot):
-    constants, x, grid_v = res
+    constants, x, grid_v, sort = res
     dv, dC = cot
     kappa = 4.0 * constants.inv_dx * constants.inv_dx
     from .blocked import _apic_bwd_impl, _forward_dispatch
 
     A = kappa * dC
-    _, d_grid = _forward_dispatch(constants, x, None, dv, A, "auto")
+    _, d_grid = _forward_dispatch(constants, x, None, dv, A, "auto", sort)
     # Position cotangent: same tap-contraction structure with the
     # grid-velocity slab (b = dv, A = kappa dC).
-    d_x, _, _, _ = _apic_bwd_impl(constants, x, None, dv, A, None, grid_v)
+    d_x, _, _, _ = _apic_bwd_impl(
+        constants, x, None, dv, A, None, grid_v, sort
+    )
 
     def zero_cotangent(v):
         if jnp.issubdtype(v.dtype, jnp.integer):
@@ -489,7 +499,8 @@ def _g2p_core_bwd(res, cot):
         return jnp.zeros_like(v)
 
     d_constants = jax.tree_util.tree_map(zero_cotangent, constants)
-    return d_constants, d_x, d_grid
+    d_sort = jax.tree_util.tree_map(zero_cotangent, sort)
+    return d_constants, d_x, d_grid, d_sort
 
 
 g2p_core.defvjp(_g2p_core_fwd, _g2p_core_bwd)
@@ -500,6 +511,7 @@ def _g2p_impl(
     statics: Statics,
     state: ParticleState,
     grid_v: jnp.ndarray,
+    sort=None,
 ) -> ParticleState:
     """Grid-to-particle gather + F update + advection (reference
     mpm.py:432-498). Differentiable end to end: the tap contractions
@@ -509,7 +521,7 @@ def _g2p_impl(
     dt = constants.dt
     enabled = (statics.enabled > 0)[:, None]
 
-    new_v, new_C = g2p_core(constants, state.x, grid_v)
+    new_v, new_C = g2p_core(constants, state.x, grid_v, sort)
 
     eye = jnp.eye(3, dtype=state.x.dtype)
     new_F = (eye + dt * new_C) @ state.F
@@ -534,10 +546,21 @@ def g2p(
     statics: Statics,
     state: ParticleState,
     grid_v: jnp.ndarray,
+    sort=None,
 ) -> ParticleState:
     """Grid-to-particle transfer. Plain function over ``g2p_core``; see
     ``_g2p_impl``."""
-    return _g2p_impl(constants, statics, state, grid_v)
+    return _g2p_impl(constants, statics, state, grid_v, sort)
+
+
+def _step_sort(constants, x):
+    """One shared block sort per step (p2g and g2p read the same
+    pre-update positions). Only the blocked TPU path consumes it."""
+    if constants.num_grids > 24:
+        from .p2g_kernel import block_sort
+
+        return block_sort(constants, x)
+    return None
 
 
 def mpm_step(
@@ -545,13 +568,21 @@ def mpm_step(
     statics: Statics,
     state: ParticleState,
     stress: jnp.ndarray,
+    sort=None,
 ) -> ParticleState:
     """One full MPM step: p2g -> grid_op -> g2p (reference
     ``MPMModel.forward``, mpm.py:279-297). Pure function; the grid is a
-    transient intermediate that XLA fuses/frees — never part of the state."""
-    grid_m, grid_mv = p2g(constants, statics, state, stress)
+    transient intermediate that XLA fuses/frees — never part of the state.
+
+    The block-sorted particle order is computed ONCE here and shared by
+    the p2g scatter, the g2p gather, and (via custom-VJP residuals)
+    every backward kernel — the argsort was the dominant fixed cost
+    when rebuilt per primitive."""
+    if sort is None:
+        sort = _step_sort(constants, state.x)
+    grid_m, grid_mv = p2g(constants, statics, state, stress, "auto", sort)
     grid_v = grid_op(constants, grid_m, grid_mv)
-    return g2p(constants, statics, state, grid_v)
+    return g2p(constants, statics, state, grid_v, sort)
 
 
 # --- gradient-parity wrapper ------------------------------------------------
@@ -574,14 +605,19 @@ def mpm_step_diff(
 
 
 def _mpm_step_fwd(constants, statics, state, stress):
-    out = mpm_step(constants, statics, state, stress)
-    return out, (constants, statics, state, stress)
+    sort = _step_sort(constants, state.x)
+    out = mpm_step(constants, statics, state, stress, sort)
+    return out, (constants, statics, state, stress, sort)
 
 
 def _mpm_step_bwd(residuals, g):
-    constants, statics, state, stress = residuals
+    constants, statics, state, stress, sort = residuals
+    # Replay with the SAVED block sort: the remat replay and all inner
+    # backward kernels reuse it instead of re-sorting (x is unchanged).
     _, vjp_fn = jax.vjp(
-        lambda st, sr: mpm_step(constants, statics, st, sr), state, stress
+        lambda st, sr: mpm_step(constants, statics, st, sr, sort),
+        state,
+        stress,
     )
     d_state, d_stress = vjp_fn(g)
     scrub = lambda t: jnp.nan_to_num(t, nan=0.0, posinf=0.0, neginf=0.0)

@@ -60,24 +60,36 @@ class ChunkLayout(NamedTuple):
     nb: int             # blocks per axis (static)
 
 
+class BlockSort(NamedTuple):
+    """Block-sorted particle order + stencil geometry, shared by every
+    scatter/gather primitive inside one MPM step (the argsort and
+    searchsorteds are the expensive part of the layout — rebuilding them
+    up to 7x per fwd+bwd step was ~40% of the step). All leaves are
+    arrays so the pytree threads through ``custom_vjp`` residuals; the
+    (static) blocks-per-axis count is derived from ``constants``."""
+
+    perm: jnp.ndarray      # (N,) block-sorted order
+    inv_perm: jnp.ndarray  # (N,) rank of each particle in sorted order
+    bstart: jnp.ndarray    # (NB,) first sorted index of each block
+    counts: jnp.ndarray    # (NB,) particles per block
+    bid: jnp.ndarray       # (N,) flat block id per particle
+    base: jnp.ndarray      # (N, 3) stencil base cell
+    fx: jnp.ndarray        # (N, 3) fractional position
+    loc: jnp.ndarray       # (N, 3, 3) local tap grid lines in [0, S)
+
+
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def build_chunk_layout(
-    constants: MPMConstants, x: jnp.ndarray, block: int = BLOCK, chunk: int = CHUNK
-) -> Tuple[ChunkLayout, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Sort particles by grid block and carve into C-sized padded chunks.
-
-    Returns (layout, base, fx, loc) where base/fx are the stencil
-    geometry and loc the per-particle local tap lines (N, 3, 3).
-    """
+def block_sort(
+    constants: MPMConstants, x: jnp.ndarray, block: int = BLOCK
+) -> BlockSort:
+    """One argsort by flat block id + bucket ranges + stencil geometry."""
     g = constants.num_grids
     nb = _cdiv(g, block)
     NB = nb ** 3
     n = x.shape[0]
-    C = chunk
-    M = _cdiv(n, C) + NB
     dtype = x.dtype
 
     p_x = x * constants.inv_dx
@@ -98,6 +110,40 @@ def build_chunk_layout(
     bins = jnp.arange(NB, dtype=sbid.dtype)
     bstart = jnp.searchsorted(sbid, bins, side="left")
     counts = jnp.searchsorted(sbid, bins, side="right") - bstart
+    # Scatter-set beats a second argsort for the inverse permutation.
+    inv_perm = (
+        jnp.zeros((n,), jnp.int32)
+        .at[perm]
+        .set(jnp.arange(n, dtype=jnp.int32))
+    )
+    return BlockSort(perm, inv_perm, bstart, counts, bid, base, fx, loc)
+
+
+def build_chunk_layout(
+    constants: MPMConstants,
+    x: jnp.ndarray,
+    block: int = BLOCK,
+    chunk: int = CHUNK,
+    sort: Optional[BlockSort] = None,
+) -> Tuple[ChunkLayout, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Carve the block-sorted order into C-sized padded chunks.
+
+    Returns (layout, base, fx, loc) where base/fx are the stencil
+    geometry and loc the per-particle local tap lines (N, 3, 3).
+    ``sort`` (from :func:`block_sort`) is rebuilt when not supplied.
+    """
+    g = constants.num_grids
+    nb = _cdiv(g, block)
+    NB = nb ** 3
+    n = x.shape[0]
+    C = chunk
+    M = _cdiv(n, C) + NB
+    dtype = x.dtype
+
+    if sort is None:
+        sort = block_sort(constants, x, block)
+    perm, bstart, counts, bid = sort.perm, sort.bstart, sort.counts, sort.bid
+
     nchunk = (counts + C - 1) // C
     cum = jnp.cumsum(nchunk)
 
@@ -116,11 +162,10 @@ def build_chunk_layout(
     src = perm[jnp.clip(slot, 0, n - 1)].reshape(-1)  # (M*C,)
 
     # Inverse map: particle -> padded slot (for scattering results back).
-    inv_perm = jnp.argsort(perm)
     dest = C * jnp.where(bid > 0, cum[jnp.maximum(bid - 1, 0)], 0) + (
-        inv_perm - bstart[bid]
+        sort.inv_perm - bstart[bid]
     )
-    return ChunkLayout(src, valid, c2b, dest, M, nb), base, fx, loc
+    return ChunkLayout(src, valid, c2b, dest, M, nb), sort.base, sort.fx, sort.loc
 
 
 def pack_payload(
@@ -265,10 +310,11 @@ def p2g_blocked_pallas(
     b: jnp.ndarray,
     A: jnp.ndarray,
     interpret: bool = False,
+    sort: Optional[BlockSort] = None,
 ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:
     """Pallas-fused blocked APIC scatter. Same contract as
     ``blocked._blocked_forward``."""
-    layout, base, fx, loc = build_chunk_layout(constants, x)
+    layout, base, fx, loc = build_chunk_layout(constants, x, sort=sort)
     payload = pack_payload(constants, layout, fx, loc, gm, b, A)
     partials = run_p2g_fwd(payload, layout.num_chunks, interpret=interpret)
     grid = _fold(partials, layout.c2b, constants.num_grids, layout.nb)
@@ -558,12 +604,15 @@ def apic_gather_tpu(
     du: Optional[jnp.ndarray],
     derivs: bool = True,
     interpret: bool = False,
+    sort: Optional[BlockSort] = None,
 ):
     """Blocked tap-gather: returns per-particle (dx (N,3), dgm (N,),
     db (N,3), dA (N,3,3)) against slab channels (df, du)."""
     n = x.shape[0]
     g = constants.num_grids
-    layout, base, fx, loc = build_chunk_layout(constants, x, chunk=GATHER_CHUNK)
+    layout, base, fx, loc = build_chunk_layout(
+        constants, x, chunk=GATHER_CHUNK, sort=sort
+    )
     payload = pack_payload(constants, layout, fx, loc, gm, b, A)
     grid_ch = df if du is None else jnp.concatenate([df, du[:, None]], axis=1)
     slabs = unfold_blocks(grid_ch, g, layout.nb)
