@@ -7,9 +7,16 @@ grid, 1 view — reference workload in SURVEY.md section 6) and reports
 milliseconds per rollout frame.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` compares against the reference PyTorch+Warp pipeline on
-A100-80G; the repo publishes no timing numbers (BASELINE.md), so 1.0 is
-recorded until a measured reference number exists.
+The reference PyTorch+Warp pipeline publishes no timing numbers
+(BASELINE.md) and no A100 is reachable from this container, so
+``vs_baseline`` reports the defensible anchor instead: the measured
+**fraction of speed-of-light** — the analytic roofline lower bound for
+this exact workload (``neuma_tpu/utils/roofline.py``: minimal tap /
+pair / pixel work and HBM traffic on a TPU v5e) divided by the
+measured per-frame time net of the container's ~43 ms tunnel dispatch
+(amortized share measured separately and printed to stderr). 1.0 would
+mean the step runs at the hardware bound; see BENCHMARKS.md for the
+per-kernel breakdown (benchmarks/roofline.py).
 """
 from __future__ import annotations
 
@@ -135,13 +142,54 @@ def main():
     elapsed = time.perf_counter() - t0
 
     ms_per_frame = elapsed / (reps * frames) * 1000.0
+
+    # --- distance to speed-of-light (see module docstring) -------------
+    from neuma_tpu.render.rasterize import _build_aligned_pairs, _project
+    from neuma_tpu.utils import roofline as rl
+
+    probe = jnp.float32(1.0)
+    sync = jax.jit(lambda a: a + 1)
+    _ = float(sync(probe))
+    t_d0 = time.perf_counter()
+    for _ in range(5):
+        _ = float(sync(probe))
+    dispatch_ms = (time.perf_counter() - t_d0) / 5 * 1000.0
+    net_ms = max(ms_per_frame - dispatch_ms / frames, 1e-6)
+
+    pk = gaussians
+    cov = pk.get_covariance()
+    d, v, m2d, conic, radius = jax.jit(
+        lambda mm: _project(mm, cov, cam)
+    )(jnp.asarray(pts))
+    pairs_out = jax.jit(
+        lambda dd, vv, m2, r: _build_aligned_pairs(
+            dd, vv, m2, r, cam.width, cam.height, raster_cfg
+        )
+    )(d, v, m2d, radius)
+    n_pairs = int(jnp.sum(pairs_out[1]))
+
+    sol_ms = (
+        rl.grounding_step_frame(
+            n_particles, grid, img, img, n_pairs, raster_cfg.max_pairs,
+            substeps=substeps, n_views=1,
+        )
+        * 1000.0
+    )
+    vs_light = sol_ms / net_ms
+    print(
+        f"[bench] dispatch {dispatch_ms:.1f} ms/epoch, net "
+        f"{net_ms:.1f} ms/frame, sol {sol_ms:.2f} ms/frame "
+        f"({n_pairs} pairs)",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
                 "metric": "grounding_step_time_per_frame",
                 "value": round(ms_per_frame, 3),
                 "unit": "ms",
-                "vs_baseline": 1.0,
+                "vs_baseline": round(vs_light, 4),
             }
         )
     )

@@ -114,13 +114,21 @@ def main(argv=None):
         shs = g.get_features
         cfg = RasterConfig(max_pairs=1 << 18)
 
-        f = jax.jit(
-            lambda m, c: rasterize(
-                m, c, opac, cam, jnp.ones(3), shs=shs, sh_degree=3,
-                cfg=cfg,
-            )
-        )
-        t = max(steady(f, x, cov) - dispatch, 1e-9)
+        K = 8  # in-graph repetition: tunnel-dispatch noise / K
+
+        @jax.jit
+        def f(m, c):
+            def body(mm, _):
+                im = rasterize(
+                    mm, c, opac, cam, jnp.ones(3), shs=shs, sh_degree=3,
+                    cfg=cfg,
+                )
+                return mm + 1e-12 * im[0, 0, 0], None
+
+            mm, _ = jax.lax.scan(body, m, None, length=K)
+            return mm
+
+        t = max((steady(f, x, cov) - dispatch) / K, 1e-9)
         mrays = img * img / t / 1e6
         rast_rows.append(
             {"gaussians": n, "image": img, "fps": 1.0 / t,
