@@ -278,6 +278,30 @@ def p2g_matmul(
     return grid_m.reshape(sx * sy * sz), grid_mv.reshape(sx * sy * sz, 3)
 
 
+def _p2g_terms(
+    constants: MPMConstants,
+    statics: Statics,
+    state: ParticleState,
+    stress: jnp.ndarray,
+):
+    """Per-particle APIC scatter channels (mass, momentum, affine)."""
+    dtype = state.x.dtype
+    en = statics.enabled.astype(dtype)
+    mass = statics.vol * statics.rho * en
+    stress_term = (
+        -constants.dt
+        * statics.vol
+        * 4.0
+        * constants.inv_dx
+        * constants.inv_dx
+    )[:, None, None] * stress
+    affine = (
+        stress_term * en[:, None, None] + mass[:, None, None] * state.C
+    )
+    b = mass[:, None] * state.v
+    return mass, b, affine
+
+
 def p2g(
     constants: MPMConstants,
     statics: Statics,
@@ -302,21 +326,7 @@ def p2g(
     if method in ("auto", "blocked"):
         from .blocked import apic_scatter
 
-        dtype = state.x.dtype
-        en = statics.enabled.astype(dtype)
-        mass = statics.vol * statics.rho * en
-        stress_term = (
-            -constants.dt
-            * statics.vol
-            * 4.0
-            * constants.inv_dx
-            * constants.inv_dx
-        )[:, None, None] * stress
-        affine = (
-            stress_term * en[:, None, None]
-            + mass[:, None, None] * state.C
-        )
-        b = mass[:, None] * state.v
+        mass, b, affine = _p2g_terms(constants, statics, state, stress)
         grid_m, grid_f = apic_scatter(
             constants, state.x, mass, b, affine, sort
         )
@@ -506,22 +516,19 @@ def _g2p_core_bwd(res, cot):
 g2p_core.defvjp(_g2p_core_fwd, _g2p_core_bwd)
 
 
-def _g2p_impl(
+def _g2p_tail(
     constants: MPMConstants,
     statics: Statics,
     state: ParticleState,
-    grid_v: jnp.ndarray,
-    sort=None,
+    new_v: jnp.ndarray,
+    new_C: jnp.ndarray,
 ) -> ParticleState:
-    """Grid-to-particle gather + F update + advection (reference
-    mpm.py:432-498). Differentiable end to end: the tap contractions
-    live in ``g2p_core`` (custom VJP, blocked kernels); the rest is
-    plain AD."""
+    """Everything after the tap contractions: F update, advection,
+    clamp, enabled freeze. Cheap elementwise ops — plain AD; also
+    re-run (trivially) by the direct step backward."""
     dx = constants.dx
     dt = constants.dt
     enabled = (statics.enabled > 0)[:, None]
-
-    new_v, new_C = g2p_core(constants, state.x, grid_v, sort)
 
     eye = jnp.eye(3, dtype=state.x.dtype)
     new_F = (eye + dt * new_C) @ state.F
@@ -539,6 +546,21 @@ def _g2p_impl(
         C=jnp.where(enabled[..., None], new_C, state.C),
         F=jnp.where(enabled[..., None], new_F, state.F),
     )
+
+
+def _g2p_impl(
+    constants: MPMConstants,
+    statics: Statics,
+    state: ParticleState,
+    grid_v: jnp.ndarray,
+    sort=None,
+) -> ParticleState:
+    """Grid-to-particle gather + F update + advection (reference
+    mpm.py:432-498). Differentiable end to end: the tap contractions
+    live in ``g2p_core`` (custom VJP, blocked kernels); the rest is
+    plain AD."""
+    new_v, new_C = g2p_core(constants, state.x, grid_v, sort)
+    return _g2p_tail(constants, statics, state, new_v, new_C)
 
 
 def g2p(
@@ -596,8 +618,14 @@ def mpm_step_diff(
 ) -> ParticleState:
     """``mpm_step`` with reference-parity backward semantics:
 
-    * backward rematerializes the step (grid never stored) — the analogue
-      of ``MPMModel.backward``'s local-tape replay (mpm.py:299-319);
+    * backward composes the closed-form piece adjoints DIRECTLY (tail
+      vjp -> g2p tap gather -> grid_op vjp -> scatter gather) from the
+      saved grid channels and g2p outputs, instead of replaying the
+      whole forward — the gradient VALUES match ``MPMModel.backward``'s
+      local-tape replay (reference mpm.py:299-319) while skipping its
+      second forward pass. Residual memory is ~4 grid channels
+      (G^3 * 16 B) per step, transient under the rollout's per-frame
+      ``jax.checkpoint``;
     * all outgoing cotangents are NaN/Inf-scrubbed to zero, matching
       ``MPMSimFunction.backward`` (interface.py:65-74).
     """
@@ -606,20 +634,69 @@ def mpm_step_diff(
 
 def _mpm_step_fwd(constants, statics, state, stress):
     sort = _step_sort(constants, state.x)
-    out = mpm_step(constants, statics, state, stress, sort)
-    return out, (constants, statics, state, stress, sort)
+    grid_m, grid_mv = p2g(constants, statics, state, stress, "auto", sort)
+    grid_v = grid_op(constants, grid_m, grid_mv)
+    new_v, new_C = g2p_core(constants, state.x, grid_v, sort)
+    out = _g2p_tail(constants, statics, state, new_v, new_C)
+    return out, (
+        constants, statics, state, stress, sort,
+        grid_m, grid_mv, new_v, new_C,
+    )
 
 
 def _mpm_step_bwd(residuals, g):
-    constants, statics, state, stress, sort = residuals
-    # Replay with the SAVED block sort: the remat replay and all inner
-    # backward kernels reuse it instead of re-sorting (x is unchanged).
-    _, vjp_fn = jax.vjp(
-        lambda st, sr: mpm_step(constants, statics, st, sr, sort),
-        state,
-        stress,
+    (
+        constants, statics, state, stress, sort,
+        grid_m, grid_mv, new_v, new_C,
+    ) = residuals
+    from .blocked import _apic_bwd_impl, _forward_dispatch
+
+    # 1. tail (F update / advection / clamp / freeze): cheap elementwise
+    #    re-run under jax.vjp.
+    _, vjp_tail = jax.vjp(
+        lambda st, v_, C_: _g2p_tail(constants, statics, st, v_, C_),
+        state, new_v, new_C,
     )
-    d_state, d_stress = vjp_fn(g)
+    d_state_t, d_new_v, d_new_C = vjp_tail(g)
+
+    # 2. g2p tap contractions: grid cotangent via the blocked scatter
+    #    (the exact transpose), position cotangent via the gather kernel
+    #    against the (recomputed, 12-flop/cell) grid velocities.
+    kappa = 4.0 * constants.inv_dx * constants.inv_dx
+    A = kappa * d_new_C
+    grid_v = grid_op(constants, grid_m, grid_mv)
+    _, d_grid_v = _forward_dispatch(
+        constants, state.x, None, d_new_v, A, "auto", sort
+    )
+    d_x_g2p, _, _, _ = _apic_bwd_impl(
+        constants, state.x, None, d_new_v, A, None, grid_v, sort
+    )
+
+    # 3. grid_op (momentum -> velocity + BC): elementwise vjp from the
+    #    saved grid channels.
+    _, vjp_gop = jax.vjp(
+        lambda m_, mv_: grid_op(constants, m_, mv_), grid_m, grid_mv
+    )
+    d_m, d_mv = vjp_gop(d_grid_v)
+
+    # 4. p2g: closed-form scatter adjoint (27-tap gather) + vjp of the
+    #    cheap per-particle channel prep.
+    mass, b, affine = _p2g_terms(constants, statics, state, stress)
+    d_x_s, dgm, db, dA = _apic_bwd_impl(
+        constants, state.x, mass, b, affine, d_m, d_mv, sort
+    )
+    _, vjp_prep = jax.vjp(
+        lambda st, sr: _p2g_terms(constants, statics, st, sr),
+        state, stress,
+    )
+    d_state_p, d_stress = vjp_prep((dgm, db, dA))
+
+    d_state = ParticleState(
+        x=d_state_t.x + d_x_g2p + d_x_s + d_state_p.x,
+        v=d_state_t.v + d_state_p.v,
+        C=d_state_t.C + d_state_p.C,
+        F=d_state_t.F + d_state_p.F,
+    )
     scrub = lambda t: jnp.nan_to_num(t, nan=0.0, posinf=0.0, neginf=0.0)
     d_state = jax.tree_util.tree_map(scrub, d_state)
     d_stress = scrub(d_stress)

@@ -430,10 +430,7 @@ def _make_gather_kernel(derivs: bool, inv_dx: float):
                 )  # (C, 4*S*S); channel ch at cols [ch*S*S:(ch+1)*S*S]
 
             Tz = zdot(Z)
-            Tzk = zdot(Zk)
             Tzp = zdot(Zp)
-            Tzd = zdot(Zd) if derivs else None
-            Tzdk = zdot(Zdk) if derivs else None
 
             def red(xy, T, ch):
                 return jnp.sum(
@@ -474,31 +471,68 @@ def _make_gather_kernel(derivs: bool, inv_dx: float):
             xy_djy = X * Ydj
 
             gmc = col(_GM)
-            dxv = []
-            # deriv axis x
-            acc = gmc * red(xy_dx, Tz, 3)
-            for r in range(3):
-                acc += col(_BE0 + r) * red(xy_dx, Tz, r)
-                acc += col(_AC0 + 3 * r + 0) * red(xy_dix, Tz, r)
-                acc += col(_AC0 + 3 * r + 1) * red(xy_dx_jy, Tz, r)
-                acc += col(_AC0 + 3 * r + 2) * red(xy_dx, Tzk, r)
-            dxv.append(acc)
-            # deriv axis y
-            acc = gmc * red(xy_dy, Tz, 3)
-            for r in range(3):
-                acc += col(_BE0 + r) * red(xy_dy, Tz, r)
-                acc += col(_AC0 + 3 * r + 0) * red(xy_ix_dy, Tz, r)
-                acc += col(_AC0 + 3 * r + 1) * red(xy_djy, Tz, r)
-                acc += col(_AC0 + 3 * r + 2) * red(xy_dy, Tzk, r)
-            dxv.append(acc)
-            # deriv axis z
-            acc = gmc * red(xy, Tzd, 3)
-            for r in range(3):
-                acc += col(_BE0 + r) * red(xy, Tzd, r)
-                acc += col(_AC0 + 3 * r + 0) * red(xy_ix, Tzd, r)
-                acc += col(_AC0 + 3 * r + 1) * red(xy_jy, Tzd, r)
-                acc += col(_AC0 + 3 * r + 2) * red(xy, Tzdk, r)
-            dxv.append(acc)
+            # dx needs, per deriv axis, 13 per-channel (C, S^2)
+            # multiply+rowsum reductions; since the channel coefficients
+            # (gm, b_eff, a_cols) are per-particle scalars, combine them
+            # INSIDE the z-contraction instead: lhs row c is the
+            # concatenation of coef_ch(c) * zweight(c, :) blocks, rhs is
+            # the matching stack of (S, S^2) slab slices. 4 tiny MXU
+            # dots replace 30 VPU reductions (and the wide Tzk/Tzd/Tzdk
+            # zdots disappear).
+            def zslab(ch):
+                return slabT[:, ch * S * S : (ch + 1) * S * S]  # (S, S^2)
+
+            def stack_dot(lhs_blocks, rhs_blocks):
+                lhs = jnp.concatenate(lhs_blocks, axis=1)  # (C, 16*k)
+                rhs = jnp.concatenate(rhs_blocks, axis=0)  # (16*k, S^2)
+                return jax.lax.dot_general(
+                    lhs,
+                    rhs,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (C, S^2)
+
+            # rhs stacks are shared between the plain and the
+            # z-derivative variants (rows are slab slices only).
+            rhs_s = [zslab(3), zslab(0), zslab(1), zslab(2),
+                     zslab(0), zslab(1), zslab(2)]
+            rhs_a = [zslab(0), zslab(1), zslab(2)]
+
+            def smat(zmat, zkmat):
+                # gm*ch3 + sum_r b_eff_r*ch_r (z-weight) + a_r2*ch_r
+                # (k-weighted z)
+                return stack_dot(
+                    [gmc * zmat]
+                    + [col(_BE0 + r) * zmat for r in range(3)]
+                    + [col(_AC0 + 3 * r + 2) * zkmat for r in range(3)],
+                    rhs_s,
+                )
+
+            def amat(cidx, zmat):
+                return stack_dot(
+                    [col(_AC0 + 3 * r + cidx) * zmat for r in range(3)],
+                    rhs_a,
+                )
+
+            Smat = smat(Z, Zk)
+            A0m = amat(0, Z)
+            A1m = amat(1, Z)
+            Smat_d = smat(Zd, Zdk)
+            A0md = amat(0, Zd)
+            A1md = amat(1, Zd)
+
+            def rsum(xy_f, mat):
+                return jnp.sum(xy_f * mat, axis=1, keepdims=True)
+
+            dxv = [
+                rsum(xy_dx, Smat) + rsum(xy_dix, A0m)
+                + rsum(xy_dx_jy, A1m),
+                rsum(xy_dy, Smat) + rsum(xy_ix_dy, A0m)
+                + rsum(xy_djy, A1m),
+                rsum(xy, Smat_d) + rsum(xy_ix, A0md)
+                + rsum(xy_jy, A1md),
+            ]
 
             for a in range(3):
                 # minus term: - sum_i A[i, a] db_i  (A = a_cols / dx)
