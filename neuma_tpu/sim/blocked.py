@@ -144,9 +144,11 @@ def _blocked_forward(
     M = _cdiv(n, C) + NB
     dtype = x.dtype
 
-    if sort is None:
-        from .p2g_kernel import block_sort
+    from .p2g_kernel import StepLayouts, block_sort
 
+    if isinstance(sort, StepLayouts):
+        sort = sort.sort
+    if sort is None:
         sort = block_sort(constants, x, block)
     fx, loc = sort.fx, sort.loc
     w, _ = _spline(fx)  # (N, 3, 3)

@@ -576,12 +576,13 @@ def g2p(
 
 
 def _step_sort(constants, x):
-    """One shared block sort per step (p2g and g2p read the same
-    pre-update positions). Only the blocked TPU path consumes it."""
+    """One shared block sort + both pre-carved chunk layouts per step
+    (p2g and g2p read the same pre-update positions). Only the blocked
+    path consumes it."""
     if constants.num_grids > 24:
-        from .p2g_kernel import block_sort
+        from .p2g_kernel import build_step_layouts
 
-        return block_sort(constants, x)
+        return build_step_layouts(constants, x)
     return None
 
 

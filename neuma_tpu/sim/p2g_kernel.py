@@ -50,14 +50,15 @@ _COLS = 48
 
 
 class ChunkLayout(NamedTuple):
-    """Static-shape chunked layout of particles sorted by grid block."""
+    """Static-shape chunked layout of particles sorted by grid block.
+    All leaves are arrays (pytree-safe through custom-VJP residuals);
+    the chunk count is ``c2b.shape[0]`` and blocks-per-axis derives from
+    ``constants`` (``_cdiv(num_grids, BLOCK)``)."""
 
     src: jnp.ndarray    # (M*C,) source particle index per padded slot
     valid: jnp.ndarray  # (M*C,) 1.0 for live slots
     c2b: jnp.ndarray    # (M,) block id per chunk
     dest: jnp.ndarray   # (N,) padded slot of each particle
-    num_chunks: int     # M (static)
-    nb: int             # blocks per axis (static)
 
 
 class BlockSort(NamedTuple):
@@ -165,7 +166,45 @@ def build_chunk_layout(
     dest = C * jnp.where(bid > 0, cum[jnp.maximum(bid - 1, 0)], 0) + (
         sort.inv_perm - bstart[bid]
     )
-    return ChunkLayout(src, valid, c2b, dest, M, nb), sort.base, sort.fx, sort.loc
+    return ChunkLayout(src, valid, c2b, dest), sort.base, sort.fx, sort.loc
+
+
+class StepLayouts(NamedTuple):
+    """The shared per-step sort plus BOTH pre-carved chunk layouts (the
+    scatter kernels' CHUNK and the gather kernels' GATHER_CHUNK). Built
+    once in ``mpm_step``; the carve alone is ~0.7 ms at 30k particles
+    and used to run five times per fwd+bwd step."""
+
+    sort: BlockSort
+    scatter: ChunkLayout  # chunk == CHUNK
+    gather: ChunkLayout   # chunk == GATHER_CHUNK
+
+
+def build_step_layouts(constants: MPMConstants, x: jnp.ndarray) -> StepLayouts:
+    sort = block_sort(constants, x)
+    scatter, _, _, _ = build_chunk_layout(constants, x, chunk=CHUNK, sort=sort)
+    gather, _, _, _ = build_chunk_layout(
+        constants, x, chunk=GATHER_CHUNK, sort=sort
+    )
+    return StepLayouts(sort, scatter, gather)
+
+
+def _resolve_layout(
+    constants: MPMConstants, x: jnp.ndarray, chunk: int, shared
+) -> Tuple[ChunkLayout, BlockSort]:
+    """shared may be None, a BlockSort, or a StepLayouts."""
+    if isinstance(shared, StepLayouts):
+        if chunk == CHUNK:
+            return shared.scatter, shared.sort
+        if chunk == GATHER_CHUNK:
+            return shared.gather, shared.sort
+        shared = shared.sort
+    if shared is None:
+        shared = block_sort(constants, x)
+    layout, _, _, _ = build_chunk_layout(
+        constants, x, chunk=chunk, sort=shared
+    )
+    return layout, shared
 
 
 def pack_payload(
@@ -313,11 +352,15 @@ def p2g_blocked_pallas(
     sort: Optional[BlockSort] = None,
 ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:
     """Pallas-fused blocked APIC scatter. Same contract as
-    ``blocked._blocked_forward``."""
-    layout, base, fx, loc = build_chunk_layout(constants, x, sort=sort)
-    payload = pack_payload(constants, layout, fx, loc, gm, b, A)
-    partials = run_p2g_fwd(payload, layout.num_chunks, interpret=interpret)
-    grid = _fold(partials, layout.c2b, constants.num_grids, layout.nb)
+    ``blocked._blocked_forward``. ``sort`` may be a BlockSort or a
+    pre-carved StepLayouts."""
+    layout, bsort = _resolve_layout(constants, x, CHUNK, sort)
+    payload = pack_payload(
+        constants, layout, bsort.fx, bsort.loc, gm, b, A
+    )
+    partials = run_p2g_fwd(payload, layout.c2b.shape[0], interpret=interpret)
+    nb = _cdiv(constants.num_grids, BLOCK)
+    grid = _fold(partials, layout.c2b, constants.num_grids, nb)
     grid_f = grid[:, :3]
     grid_m = grid[:, 3] if gm is not None else None
     return grid_m, grid_f
@@ -641,20 +684,22 @@ def apic_gather_tpu(
     sort: Optional[BlockSort] = None,
 ):
     """Blocked tap-gather: returns per-particle (dx (N,3), dgm (N,),
-    db (N,3), dA (N,3,3)) against slab channels (df, du)."""
+    db (N,3), dA (N,3,3)) against slab channels (df, du). ``sort`` may
+    be a BlockSort or a pre-carved StepLayouts."""
     n = x.shape[0]
     g = constants.num_grids
-    layout, base, fx, loc = build_chunk_layout(
-        constants, x, chunk=GATHER_CHUNK, sort=sort
+    layout, bsort = _resolve_layout(constants, x, GATHER_CHUNK, sort)
+    payload = pack_payload(
+        constants, layout, bsort.fx, bsort.loc, gm, b, A
     )
-    payload = pack_payload(constants, layout, fx, loc, gm, b, A)
     grid_ch = df if du is None else jnp.concatenate([df, du[:, None]], axis=1)
-    slabs = unfold_blocks(grid_ch, g, layout.nb)
+    nb = _cdiv(g, BLOCK)
+    slabs = unfold_blocks(grid_ch, g, nb)
     out = run_apic_gather(
         payload,
         slabs,
         layout.c2b,
-        layout.num_chunks,
+        layout.c2b.shape[0],
         float(constants.inv_dx),
         derivs,
         interpret=interpret,
