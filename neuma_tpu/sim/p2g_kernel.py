@@ -421,23 +421,24 @@ def _make_gather_kernel(derivs: bool, inv_dx: float):
                 fxa = col(_FX0 + axis)
                 plain = jnp.zeros((C, S * S), f32)
                 off = jnp.zeros((C, S * S), f32)
-                dpos = jnp.zeros((C, S * S), f32)
                 der = jnp.zeros((C, S * S), f32) if derivs else None
                 der_off = jnp.zeros((C, S * S), f32) if derivs else None
                 for t in range(3):
                     oh = (pattern == col(l0 + t).astype(jnp.int32)).astype(f32)
-                    w = col(w0 + t)
-                    plain += w * oh
+                    a = col(w0 + t) * oh
+                    plain += a
                     if t:
-                        off += float(t) * w * oh
-                    # (t - fx) weighting per tap: dA without the
-                    # catastrophic (P_off - fx*db) cancellation
-                    dpos += (float(t) - fxa) * w * oh
+                        off += float(t) * a
                     if derivs:
-                        wd = col(d0 + t)
-                        der += wd * oh
+                        bm = col(d0 + t) * oh
+                        der += bm
                         if t:
-                            der_off += float(t) * wd * oh
+                            der_off += float(t) * bm
+                # (t - fx) weighting: per-ELEMENT each column holds one
+                # tap's w, so off - fx*plain = w*(t - fx) with no large
+                # cancelling sums (the catastrophic form would subtract
+                # AFTER the tap reductions).
+                dpos = off - fxa * plain
                 return plain, off, dpos, der, der_off
 
             X, Xi, Xp, Xd, Xdi = factors(0, qdiv)
@@ -446,22 +447,21 @@ def _make_gather_kernel(derivs: bool, inv_dx: float):
             # z one-hots at (C, S) for the MXU contraction
             Z = jnp.zeros((C, S), f32)
             Zk = jnp.zeros((C, S), f32)
-            Zp = jnp.zeros((C, S), f32)
             Zd = jnp.zeros((C, S), f32) if derivs else None
             Zdk = jnp.zeros((C, S), f32) if derivs else None
             fz = col(_FX0 + 2)
             for t in range(3):
                 oh = (idxS == col(_L0 + 6 + t).astype(jnp.int32)).astype(f32)
-                w = col(_W0 + 6 + t)
-                Z += w * oh
+                a = col(_W0 + 6 + t) * oh
+                Z += a
                 if t:
-                    Zk += float(t) * w * oh
-                Zp += (float(t) - fz) * w * oh
+                    Zk += float(t) * a
                 if derivs:
-                    wd = col(_WD0 + 6 + t)
-                    Zd += wd * oh
+                    bm = col(_WD0 + 6 + t) * oh
+                    Zd += bm
                     if t:
-                        Zdk += float(t) * wd * oh
+                        Zdk += float(t) * bm
+            Zp = Zk - fz * Z  # per-element w*(t - fz), see factors()
 
             def zdot(zmat):
                 return jax.lax.dot_general(
