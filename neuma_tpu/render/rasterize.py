@@ -197,6 +197,80 @@ def _sort_pairs_by_tile(tile_id, gid_c, num_tiles, max_pairs):
     return sorted_tile, sorted_gid
 
 
+def _run_fill(values, starts_c, ends_c, max_pairs):
+    """Expand per-gaussian ``values`` to per-pair without P-scale
+    gathers (slow on TPU): add +v at each gaussian's first pair slot
+    and -v at its end slot (== the next run's start), then an inclusive
+    cumsum reconstructs the constant-per-run sequence. Empty runs
+    cancel in place; a run straddling the budget edge keeps its value
+    through the tail (those pairs are masked as invalid anyway).
+    ``values`` must be non-negative int32."""
+    acc = (
+        jnp.zeros((max_pairs + 1,), jnp.int32)
+        .at[starts_c]
+        .add(values)
+        .at[ends_c]
+        .add(-values)
+    )[:max_pairs]
+    return jnp.cumsum(acc)
+
+
+def _pair_attributes(order, x0s, y0s, w_t, starts, offsets, cfg,
+                     tiles_x, tiles_y):
+    """Per-pair (tile_id inputs, original gaussian id, run start) via
+    three run-fills. Geometry (tile-rect x0/y0/width) packs into one
+    fill; 3 * bits(tiles) <= 30 up to 16K-pixel images."""
+    b = max(int(tiles_x).bit_length(), int(tiles_y).bit_length())
+    assert 3 * b <= 30, f"image too large for packed tile fill ({b} bits)"
+    mask = (1 << b) - 1
+    sc = jnp.clip(starts, 0, cfg.max_pairs)
+    ec = jnp.clip(offsets, 0, cfg.max_pairs)
+    packed_geo = (x0s << (2 * b)) | (y0s << b) | w_t
+    # One batched (3, P) scatter + cumsum instead of three P-scans.
+    vals = jnp.stack(
+        [packed_geo, order.astype(jnp.int32), starts]
+    )  # (3, N)
+    acc = (
+        jnp.zeros((3, cfg.max_pairs + 1), jnp.int32)
+        .at[:, sc]
+        .add(vals)
+        .at[:, ec]
+        .add(-vals)
+    )[:, : cfg.max_pairs]
+    fills = jnp.cumsum(acc, axis=1)
+    pair_geo, pair_orig, pair_start = fills[0], fills[1], fills[2]
+    x0p = pair_geo >> (2 * b)
+    y0p = (pair_geo >> b) & mask
+    twp = jnp.maximum(pair_geo & mask, 1)
+    return x0p, y0p, twp, pair_orig, pair_start
+
+
+def _pair_tile_ids(pair_idx, x0p, y0p, twp, pair_start, valid_pair, tiles_x,
+                   num_tiles):
+    k = pair_idx - pair_start
+    # k // tw via exact f32 division (TPUs have no integer divide; a
+    # variable-divisor int div expands to a multi-op sequence). Both
+    # operands are exact in f32 (< 2^24) and tw >= 1, so floor of the
+    # correctly-rounded quotient is the true integer quotient.
+    ky = jnp.floor(k.astype(jnp.float32) / twp.astype(jnp.float32)).astype(
+        jnp.int32
+    )
+    tile_x = x0p + (k - ky * twp)
+    tile_y = y0p + ky
+    return jnp.where(valid_pair, tile_y * tiles_x + tile_x, num_tiles)
+
+
+def _tile_starts(sorted_tile, pair_idx, num_tiles):
+    """First sorted position of each tile id (== searchsorted left, but
+    via scatter-min + suffix cummin — the binary search costs log2(P)
+    gather rounds on TPU). Empty tiles resolve to the next nonempty
+    tile's start; the dummy tile (id == num_tiles) caps the range."""
+    rs = jnp.full((num_tiles + 1,), pair_idx.shape[0], jnp.int32).at[
+        sorted_tile
+    ].min(pair_idx)
+    return jnp.flip(jax.lax.cummin(jnp.flip(rs)))
+
+
 def _tile_ranges(mean2d, radius, width, height):
     """Tile rect per gaussian (inclusive-exclusive), CUDA ``getRect``."""
     tiles_x = (width + TILE - 1) // TILE
@@ -246,39 +320,32 @@ def _build_tile_lists(
     starts = offsets - area
 
     # Expand to pairs: pair j belongs to sorted-gaussian g(j) with local
-    # tile slot k = j - starts[g].
+    # tile slot k = j - starts[g]. All per-pair attributes come from
+    # run-fills (scatter + cumsum), never P-scale gathers.
     pair_idx = jnp.arange(cfg.max_pairs, dtype=jnp.int32)
-    gid = jnp.searchsorted(offsets, pair_idx, side="right").astype(jnp.int32)
-    gid_c = jnp.clip(gid, 0, n - 1)
     valid_pair = pair_idx < offsets[-1]
-    k = pair_idx - starts[gid_c]
-    tw = jnp.maximum(w_t[gid_c], 1)
-    # Exact f32 division (no TPU integer divide); see _build_aligned_pairs.
-    ky = jnp.floor(k.astype(jnp.float32) / tw.astype(jnp.float32)).astype(
-        jnp.int32
+    x0p, y0p, twp, pair_orig, pair_start = _pair_attributes(
+        order, x0s, y0s, w_t, starts, offsets, cfg, tiles_x, tiles_y
     )
-    tile_x = x0s[gid_c] + (k - ky * tw)
-    tile_y = y0s[gid_c] + ky
-    tile_id = jnp.where(valid_pair, tile_y * tiles_x + tile_x, num_tiles)
+    tile_id = _pair_tile_ids(
+        pair_idx, x0p, y0p, twp, pair_start, valid_pair, tiles_x, num_tiles
+    )
 
     sorted_tile, sorted_gid = _sort_pairs_by_tile(
-        tile_id, gid_c, num_tiles, cfg.max_pairs
+        tile_id, pair_orig, num_tiles, cfg.max_pairs
     )
 
     # Per-tile ranges; the sorted pair array IS the concatenation of
     # per-tile depth-ordered lists, so the padded matrix is a pure GATHER
     # tile_mat[t, s] = sorted_gid[tile_start[t] + s] (gathers are fast on
     # TPU where scatters are not).
-    tile_start = jnp.searchsorted(
-        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
-    )
+    tile_start = _tile_starts(sorted_tile, pair_idx, num_tiles)
     counts = tile_start[1:] - tile_start[:-1]  # (num_tiles,)
     slots = jnp.arange(cfg.max_per_tile, dtype=jnp.int32)
     pos = tile_start[:-1, None] + slots[None, :]
     in_range = slots[None, :] < counts[:, None]
     gid_mat = sorted_gid[jnp.clip(pos, 0, cfg.max_pairs - 1)]
-    # Map back from sorted-gaussian rank to original index.
-    tile_mat = jnp.where(in_range, order[gid_mat], -1)
+    tile_mat = jnp.where(in_range, gid_mat, -1)
     overflow = (offsets[-1] > cfg.max_pairs) | jnp.any(
         counts > cfg.max_per_tile
     )
@@ -314,37 +381,23 @@ def _build_aligned_pairs(
     offsets = jnp.cumsum(area)
     starts = offsets - area
 
-    # pair -> gaussian mapping WITHOUT searchsorted (log-n gather rounds
-    # are slow on TPU): scatter each nonzero-area gaussian's index at its
-    # start position, then a cummax fills the runs.
+    # Per-pair attributes via run-fills (scatter + cumsum) — both
+    # searchsorted (log-P gather rounds) and P-scale attribute gathers
+    # are slow on TPU.
     pair_idx = jnp.arange(cfg.max_pairs, dtype=jnp.int32)
-    scatter_pos = jnp.where(area > 0, starts, cfg.max_pairs)
-    marks = jnp.zeros(cfg.max_pairs + 1, jnp.int32).at[scatter_pos].max(
-        jnp.arange(n, dtype=jnp.int32)
-    )[: cfg.max_pairs]
-    gid_c = jax.lax.cummax(marks)
     valid_pair = pair_idx < offsets[-1]
-    k = pair_idx - starts[gid_c]
-    tw = jnp.maximum(w_t[gid_c], 1)
-    # k // tw via exact f32 division (TPUs have no integer divide; a
-    # variable-divisor int div expands to a multi-op sequence). Both
-    # operands are exact in f32 (< 2^24) and tw >= 1, so floor of the
-    # correctly-rounded quotient is the true integer quotient.
-    ky = jnp.floor(k.astype(jnp.float32) / tw.astype(jnp.float32)).astype(
-        jnp.int32
+    x0p, y0p, twp, pair_orig, pair_start = _pair_attributes(
+        order, x0s, y0s, w_t, starts, offsets, cfg, tiles_x, tiles_y
     )
-    tile_x = x0s[gid_c] + (k - ky * tw)
-    tile_y = y0s[gid_c] + ky
-    tile_id = jnp.where(valid_pair, tile_y * tiles_x + tile_x, num_tiles)
+    tile_id = _pair_tile_ids(
+        pair_idx, x0p, y0p, twp, pair_start, valid_pair, tiles_x, num_tiles
+    )
 
     sorted_tile, sorted_gid = _sort_pairs_by_tile(
-        tile_id, gid_c, num_tiles, cfg.max_pairs
+        tile_id, pair_orig, num_tiles, cfg.max_pairs
     )
 
-    raw_start = jnp.searchsorted(
-        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32),
-        side="left",
-    )
+    raw_start = _tile_starts(sorted_tile, pair_idx, num_tiles)
     counts = raw_start[1:] - raw_start[:-1]
 
     # CHUNK-align each tile range.
@@ -381,8 +434,9 @@ def _build_aligned_pairs(
         (slot_mat >= 0) & (slot_mat < counts_b) & (pos_mat < tile_start[-1])
     )
     src = jnp.clip(rawstart_b + slot_mat, 0, cfg.max_pairs - 1)
-    orig_gid = order[sorted_gid]  # fuse the two id indirections
-    pair_gid = jnp.where(in_tile, orig_gid[src], 0).reshape(P)
+    # sorted_gid already carries ORIGINAL gaussian ids (run-filled
+    # before the sort), so placement is a single gather.
+    pair_gid = jnp.where(in_tile, sorted_gid[src], 0).reshape(P)
     in_tile = in_tile.reshape(P)
     # Name the (small, integer) pair layout so rollout remat policies can
     # SAVE it instead of re-running the sorts (see train/grounding.py).
