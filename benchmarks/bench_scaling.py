@@ -73,27 +73,32 @@ def main(argv=None):
             1e-3 * rng.standard_normal((n, 3, 3)), jnp.float32
         )
 
-        # Amortize over K steps inside one dispatch via scan on the state
+        # Two-K slope: time K1 and K2 steps inside one dispatch each;
+        # the slope cancels the tunnel-dispatch overhead exactly
         # (state changes each iteration — no CSE hoisting).
-        K = 20
+        def make(K):
+            @jax.jit
+            def run(state, stress):
+                def body(s, _):
+                    return mpm_step(constants, statics, s, stress), None
 
-        @jax.jit
-        def run(state, stress):
-            def body(s, _):
-                return mpm_step(constants, statics, s, stress), None
+                s, _ = jax.lax.scan(body, state, None, length=K)
+                return s
 
-            s, _ = jax.lax.scan(body, state, None, length=K)
-            return s
+            return run
 
-        t = max(steady(run, state, stress) - dispatch, 1e-9)
-        pps = n * K / t
+        k1, k2 = 8, 24
+        t1 = steady(make(k1), state, stress)
+        t2 = steady(make(k2), state, stress)
+        t = max((t2 - t1) / (k2 - k1), 1e-9)
+        pps = n / t
         sim_rows.append(
-            {"particles": n, "grid": g, "steps_per_s": K / t,
+            {"particles": n, "grid": g, "steps_per_s": 1.0 / t,
              "particle_steps_per_s": pps}
         )
         print(
             f"sim n={n} g={g}^3: {pps/1e6:.1f}M particle-steps/s "
-            f"({K/t:.0f} steps/s)"
+            f"({1/t:.0f} steps/s)"
         )
     results["sim"] = sim_rows
 

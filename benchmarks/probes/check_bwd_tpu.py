@@ -1,5 +1,9 @@
 """Cross-backend gradient parity of the Pallas backward on the real TPU
 after the double-buffered output-DMA change, plus bwd timing."""
+import sys as _sys
+from pathlib import Path as _P
+_sys.path.insert(0, str(_P(__file__).resolve().parents[2]))
+
 import time
 
 import numpy as np

@@ -1,4 +1,8 @@
 """Isolate the Pallas composite fwd/bwd cost at bench shapes."""
+import sys as _sys
+from pathlib import Path as _P
+_sys.path.insert(0, str(_P(__file__).resolve().parents[2]))
+
 import time
 
 import numpy as np
@@ -48,7 +52,8 @@ pair_gid, pair_valid, tile_start, tiles_x, tiles_y, ovf = jax.jit(
         d, v, m2, r, cam.width, cam.height, cfg
     )
 )(depth, vis, m2d, radius)
-colors = jax.jit(lambda m: _sh_colors(shs, m, jnp.asarray(cam.campos), 3))(x)
+tiles_x, tiles_y = (800 + 15) // 16, (800 + 15) // 16
+colors = jax.jit(lambda m: _sh_colors(shs, m, jnp.asarray(cam.camera_center), 3))(x)
 
 pm = m2d[pair_gid]
 pc = conic[pair_gid]
@@ -94,6 +99,25 @@ timed("composite fwd+bwd",
           )
       )(pm + c * 1e-12))
 timed("sh colors", lambda c: _sh_colors(
-    shs, x + c * 1e-12, jnp.asarray(cam.campos), 3))
+    shs, x + c * 1e-12, jnp.asarray(cam.camera_center), 3))
 print("pairs:", int(jnp.sum(pair_valid)), "P:", pair_gid.shape[0],
       "tiles:", tiles_x, tiles_y)
+
+
+def full_gather_grad(c):
+    def loss(m2, co, op, colr):
+        pm_ = m2[pair_gid]
+        pc_ = co[pair_gid]
+        po_ = jnp.where(pair_valid, op[pair_gid], 0.0)
+        pl_ = colr[pair_gid]
+        im, T, last = composite_pairs_tpu(
+            pm_, pc_, po_, pl_, tile_start, tiles_x, False
+        )
+        return jnp.sum(im) + jnp.sum(T)
+
+    return jax.grad(loss, argnums=(0, 1, 2, 3))(
+        m2d + c * 1e-12, conic, opac, colors
+    )
+
+
+timed("gather+composite fwd+bwd", full_gather_grad)

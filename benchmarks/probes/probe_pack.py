@@ -1,4 +1,8 @@
 """Cost of pack_payload pieces at 30k/70^3 (slope method)."""
+import sys as _sys
+from pathlib import Path as _P
+_sys.path.insert(0, str(_P(__file__).resolve().parents[2]))
+
 import time
 
 import numpy as np

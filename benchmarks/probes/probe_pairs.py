@@ -1,4 +1,8 @@
 """Slope-timed cumulative stage breakdown of _build_aligned_pairs."""
+import sys as _sys
+from pathlib import Path as _P
+_sys.path.insert(0, str(_P(__file__).resolve().parents[2]))
+
 import sys
 import time
 

@@ -1,4 +1,8 @@
 """Slope-timed render fwd / fwd+bwd at bench shapes (10k, 800^2, 1<<16)."""
+import sys as _sys
+from pathlib import Path as _P
+_sys.path.insert(0, str(_P(__file__).resolve().parents[2]))
+
 import time
 
 import numpy as np

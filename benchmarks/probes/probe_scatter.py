@@ -1,4 +1,8 @@
 """Breakdown of the blocked scatter fwd + gather bwd at 30k/70^3."""
+import sys as _sys
+from pathlib import Path as _P
+_sys.path.insert(0, str(_P(__file__).resolve().parents[2]))
+
 import time
 
 import numpy as np

@@ -1,4 +1,8 @@
 """Probe: cost of build_chunk_layout / its pieces on TPU (slope method)."""
+import sys as _sys
+from pathlib import Path as _P
+_sys.path.insert(0, str(_P(__file__).resolve().parents[2]))
+
 import time
 
 import numpy as np

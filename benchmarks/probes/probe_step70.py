@@ -1,4 +1,8 @@
 """Slope-timed breakdown of the 30k/70^3 fwd+bwd step pieces on TPU."""
+import sys as _sys
+from pathlib import Path as _P
+_sys.path.insert(0, str(_P(__file__).resolve().parents[2]))
+
 import time
 
 import numpy as np
