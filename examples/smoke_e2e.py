@@ -26,7 +26,18 @@ def main(argv=None):
     parser.add_argument("--size", type=int, default=64)
     parser.add_argument("--frames", type=int, default=4)
     parser.add_argument("--epochs", type=int, default=5)
+    parser.add_argument(
+        "--cpu",
+        action="store_true",
+        help="force the CPU backend (the container sitecustomize "
+        "overrides JAX_PLATFORMS, so an env var is not enough)",
+    )
     args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import shutil
 

@@ -87,6 +87,17 @@ def replicate(tree, mesh: Mesh):
     )
 
 
+def tile_sharding(mesh: Mesh, axis: str = "dp"):
+    """NamedSharding that splits the rasterizer's image-tile dimension
+    over ``axis`` — tiles composite independently, so passing this as
+    ``RasterConfig.tile_sharding`` makes GSPMD split the jnp composite's
+    whole segment scan across devices (the per-gaussian attribute
+    tables stay replicated; the assembled image is gathered at the
+    loss). The third rasterizer parallel axis next to particles (dp)
+    and views (vp)."""
+    return NamedSharding(mesh, P(axis))
+
+
 def make_sharded_sim_step(
     constants: MPMConstants, mesh: Mesh, axis: str = "dp"
 ):

@@ -68,6 +68,13 @@ class RasterConfig:
     # 'auto': Pallas kernels on TPU, jnp composite elsewhere.
     # 'jnp' | 'pallas' | 'pallas_interpret' force a backend.
     backend: str = "auto"
+    # Optional image-tile sharding (jnp backend): a
+    # jax.sharding.NamedSharding whose PartitionSpec names the mesh axis
+    # to split the tile dimension over — tiles composite independently,
+    # so GSPMD splits the whole segment scan across devices while the
+    # (small) gaussian attribute tables stay replicated. See
+    # parallel/sharding.py::tile_sharding and tests/test_parallel.py.
+    tile_sharding: Optional[object] = None
 
     def resolve_backend(self) -> str:
         if self.backend != "auto":
@@ -466,6 +473,11 @@ def _composite(
     Exactly replicates the CUDA ``renderCUDA`` inner loop guards."""
     num_tiles = tiles_x * tiles_y
 
+    if cfg.tile_sharding is not None:
+        tile_mat = jax.lax.with_sharding_constraint(
+            tile_mat, cfg.tile_sharding
+        )
+
     # Pixel coordinates per tile: (num_tiles, 256, 2)
     t_idx = jnp.arange(num_tiles, dtype=jnp.int32)
     tx = (t_idx % tiles_x) * TILE
@@ -543,6 +555,11 @@ def _composite(
     P0 = jnp.ones((num_tiles, TILE * TILE), jnp.float32)
     C0 = jnp.zeros((num_tiles, TILE * TILE, 3), jnp.float32)
     Tmin0 = jnp.ones((num_tiles, TILE * TILE), jnp.float32)
+    if cfg.tile_sharding is not None:
+        P0, C0, Tmin0 = (
+            jax.lax.with_sharding_constraint(a, cfg.tile_sharding)
+            for a in (P0, C0, Tmin0)
+        )
 
     (P, C, Tmin), _ = jax.lax.scan(
         jax.checkpoint(segment_body), (P0, C0, Tmin0), seg_ids
@@ -641,12 +658,18 @@ def rasterize_with_aux(
             depth, visible, mean2d, radius, camera.width, camera.height,
             cfg,
         )
-        # Differentiable gathers: their transpose scatter-adds the pair
+        # Differentiable gather: its transpose scatter-adds the pair
         # gradients from the Pallas backward into per-gaussian grads.
-        pair_mean2d = mean2d[pair_gid]
-        pair_conic = conic[pair_gid]
-        pair_opacity = jnp.where(pair_valid, opacity[pair_gid], 0.0)
-        pair_colors = colors[pair_gid]
+        # Packing the 9 feature channels first makes that ONE (P, 9)
+        # gather/scatter pair instead of four.
+        feats = jnp.concatenate(
+            [mean2d, conic, opacity[:, None], colors], axis=1
+        )
+        pf = feats[pair_gid]
+        pair_mean2d = pf[:, 0:2]
+        pair_conic = pf[:, 2:5]
+        pair_opacity = jnp.where(pair_valid, pf[:, 5], 0.0)
+        pair_colors = pf[:, 6:9]
         T, Cflat = composite_pairs_tpu(
             pair_mean2d,
             pair_conic,

@@ -109,3 +109,56 @@ def test_view_axis_sharded_loss_matches_unsharded():
             )
         )()
     np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
+
+
+def test_tile_sharded_composite_matches_unsharded():
+    """Image-tile sharding of the jnp composite: same pixels as the
+    unsharded render on an 8-way mesh."""
+    import dataclasses
+
+    from jax.sharding import Mesh
+
+    from neuma_tpu.parallel.sharding import tile_sharding
+    from neuma_tpu.render.camera import Camera
+    from neuma_tpu.render.gaussians import create_from_points
+    from neuma_tpu.render.rasterize import RasterConfig, rasterize
+
+    rng = np.random.default_rng(3)
+    n, img = 500, 128
+    pts = (0.4 + 0.2 * rng.random((n, 3))).astype(np.float32)
+    pack = create_from_points(
+        pts, rng.random((n, 3)).astype(np.float32), sh_degree=0
+    )
+    cam = Camera.look_at(
+        eye=np.array([0.5, 0.55, -1.6]),
+        target=np.array([0.5, 0.5, 0.5]),
+        fov=0.8,
+        width=img,
+        height=img,
+    )
+    cov = pack.get_covariance()
+    x = jnp.asarray(pts)
+    opac = pack.get_opacity
+    shs = pack.get_features
+    bg = jnp.zeros(3)
+    cfg = RasterConfig(max_pairs=1 << 14, backend="jnp")
+
+    ref = jax.jit(
+        lambda m: rasterize(
+            m, cov, opac, cam, bg, shs=shs, sh_degree=0, cfg=cfg
+        )
+    )(x)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("tp",))
+    cfg_s = dataclasses.replace(
+        cfg, tile_sharding=tile_sharding(mesh, "tp")
+    )
+    with mesh:
+        out = jax.jit(
+            lambda m: rasterize(
+                m, cov, opac, cam, bg, shs=shs, sh_degree=0, cfg=cfg_s
+            )
+        )(x)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-6
+    )

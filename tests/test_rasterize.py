@@ -220,3 +220,31 @@ def test_per_tile_depth_overflow_signal(rng):
         colors_precomp=colors, cfg=cfg,
     )
     assert bool(aux["overflow"])
+
+
+def test_run_fill_matches_gather():
+    """_run_fill == V[gid] for random run lengths, including empty runs
+    and a run straddling the budget edge."""
+    from neuma_tpu.render.rasterize import _run_fill
+
+    rng = np.random.default_rng(11)
+    n, max_pairs = 40, 256
+    area = rng.integers(0, 20, n)
+    area[rng.random(n) < 0.4] = 0  # plenty of empty runs
+    offsets = np.cumsum(area)
+    starts = offsets - area
+    vals = rng.integers(0, 1 << 20, n).astype(np.int32)
+
+    sc = jnp.clip(jnp.asarray(starts, jnp.int32), 0, max_pairs)
+    ec = jnp.clip(jnp.asarray(offsets, jnp.int32), 0, max_pairs)
+    filled = np.asarray(
+        _run_fill(jnp.asarray(vals), sc, ec, max_pairs)
+    )
+
+    # direct expansion
+    expect = np.zeros(max_pairs, np.int32)
+    for g in range(n):
+        a, b = starts[g], min(offsets[g], max_pairs)
+        expect[a:b] = vals[g]
+    live = min(offsets[-1], max_pairs)
+    np.testing.assert_array_equal(filled[:live], expect[:live])
