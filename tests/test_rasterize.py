@@ -248,3 +248,60 @@ def test_run_fill_matches_gather():
         expect[a:b] = vals[g]
     live = min(offsets[-1], max_pairs)
     np.testing.assert_array_equal(filled[:live], expect[:live])
+
+
+def test_builders_agree_at_realcapture_resolution():
+    """tile_mat and the aligned-pair layout contain the same per-tile
+    gaussian lists at 1920x1080 (exercises the packed-geometry run-fill
+    at 120x68 tiles)."""
+    from neuma_tpu.render.camera import Camera
+    from neuma_tpu.render.gaussians import create_from_points
+    from neuma_tpu.render.rasterize import (
+        RasterConfig,
+        _build_aligned_pairs,
+        _build_tile_lists,
+        _project,
+    )
+    from neuma_tpu.render.pallas_raster import CHUNK
+
+    rng = np.random.default_rng(5)
+    n, w, h = 2000, 1920, 1080
+    pts = (0.35 + 0.3 * rng.random((n, 3))).astype(np.float32)
+    pack = create_from_points(
+        pts, rng.random((n, 3)).astype(np.float32), sh_degree=0
+    )
+    cam = Camera.look_at(
+        eye=np.array([0.5, 0.55, -1.8]),
+        target=np.array([0.5, 0.5, 0.5]),
+        fov=0.9,
+        width=w,
+        height=h,
+    )
+    cfg = RasterConfig(max_pairs=1 << 17, max_per_tile=1024)
+    depth, vis, m2d, conic, radius = jax.jit(
+        lambda m: _project(m, pack.get_covariance(), cam)
+    )(jnp.asarray(pts))
+
+    tile_mat, tiles_x, tiles_y, ovf1 = jax.jit(
+        lambda *a: _build_tile_lists(*a, w, h, cfg)
+    )(depth, vis, m2d, radius)
+    pair_gid, pair_valid, tile_start, tx2, ty2, ovf2 = jax.jit(
+        lambda *a: _build_aligned_pairs(*a, w, h, cfg)
+    )(depth, vis, m2d, radius)
+    assert (tiles_x, tiles_y) == (tx2, ty2) == (120, 68)
+    assert not bool(ovf1) and not bool(ovf2)
+
+    tile_mat = np.asarray(tile_mat)
+    pair_gid = np.asarray(pair_gid)
+    pair_valid = np.asarray(pair_valid)
+    tile_start = np.asarray(tile_start)
+    # Both builders emit per-tile DEPTH-ordered lists -> lists match
+    # elementwise, not just as sets.
+    rng_t = np.random.default_rng(0)
+    for t in rng_t.integers(0, tiles_x * tiles_y, 200):
+        a, b = tile_start[t], tile_start[t + 1]
+        lst = [
+            pair_gid[j] for j in range(a, b) if pair_valid[j]
+        ]
+        ref = [g for g in tile_mat[t] if g >= 0]
+        assert lst == ref, (t, lst[:5], ref[:5])
