@@ -455,3 +455,108 @@ def test_synthetic_reader_parity(tmp_path, rng):
         np.testing.assert_allclose(
             oc.image.transpose(1, 2, 0), ref_img, atol=1.0 / 255.0
         )
+
+
+def test_pixel_gradient_parity_vs_torch_compositor(rng):
+    """d(pixels)/d(opacity, colors) of the full rasterizer vs a
+    torch-autograd re-execution of the brute-force CUDA-semantics
+    compositor (straight-through 0.99 alpha cap = the CUDA backward
+    quirk; per-pixel transmittance freeze at 1e-4)."""
+    import torch
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from test_rasterize import make_scene
+
+    from neuma_tpu.render.rasterize import (
+        RasterConfig,
+        _project,
+        rasterize,
+    )
+
+    means3d, cov, opacity, colors, cam = make_scene(rng, n=18, size=24)
+    bg = jnp.asarray([0.3, 0.2, 0.1])
+    cfg = RasterConfig(
+        max_pairs=4096, max_per_tile=32, segment=8, backend="jnp"
+    )
+    W = jnp.asarray(
+        rng.standard_normal((3, cam.height, cam.width)), jnp.float32
+    )
+
+    def loss(op, col):
+        img = rasterize(
+            means3d, cov, op, cam, bg, colors_precomp=col, cfg=cfg
+        )
+        return jnp.sum(img * W)
+
+    d_op, d_col = jax.jit(jax.grad(loss, argnums=(0, 1)))(opacity, colors)
+
+    # torch side: projection constants from our _project, compositing
+    # re-derived with torch autograd.
+    depth, visible, mean2d, conic, radius = jax.jit(_project)(
+        means3d, cov, cam
+    )
+    depth = np.asarray(depth)
+    visible = np.asarray(visible)
+    m2d = torch.tensor(np.asarray(mean2d), dtype=torch.float64)
+    con = torch.tensor(np.asarray(conic), dtype=torch.float64)
+    rad = np.asarray(radius)
+    op_t = torch.tensor(
+        np.asarray(opacity).reshape(-1), dtype=torch.float64,
+        requires_grad=True,
+    )
+    col_t = torch.tensor(
+        np.asarray(colors), dtype=torch.float64, requires_grad=True
+    )
+    Wt = torch.tensor(np.asarray(W), dtype=torch.float64)
+    bg_t = torch.tensor(np.asarray(bg), dtype=torch.float64)
+
+    H, Wd = cam.height, cam.width
+    order = np.argsort(np.where(visible, depth, np.inf))
+    ys, xs = np.meshgrid(np.arange(H), np.arange(Wd), indexing="ij")
+    px = torch.tensor(xs.reshape(-1), dtype=torch.float64)
+    py = torch.tensor(ys.reshape(-1), dtype=torch.float64)
+    tile_x = (xs // 16).reshape(-1)
+    tile_y = (ys // 16).reshape(-1)
+
+    T = torch.ones(H * Wd, dtype=torch.float64)
+    C = torch.zeros(H * Wd, 3, dtype=torch.float64)
+    done = torch.zeros(H * Wd, dtype=torch.bool)
+    for g in order:
+        if not visible[g] or rad[g] <= 0:
+            continue
+        m2 = m2d[g]
+        in_rect = (
+            (np.floor((float(m2[0]) - rad[g]) / 16) <= tile_x)
+            & (tile_x <= np.floor((float(m2[0]) + rad[g] + 15) / 16) - 1)
+            & (np.floor((float(m2[1]) - rad[g]) / 16) <= tile_y)
+            & (tile_y <= np.floor((float(m2[1]) + rad[g] + 15) / 16) - 1)
+        )
+        in_rect = torch.tensor(in_rect)
+        dx = m2[0] - px
+        dy = m2[1] - py
+        power = (
+            -0.5 * (con[g, 0] * dx * dx + con[g, 2] * dy * dy)
+            - con[g, 1] * dx * dy
+        )
+        alpha_raw = op_t[g] * torch.exp(power)
+        # CUDA quirk: forward caps at 0.99, backward ignores the cap.
+        alpha = alpha_raw + (
+            torch.clamp_max(alpha_raw, 0.99) - alpha_raw
+        ).detach()
+        guards = in_rect & (power <= 0.0) & (alpha.detach() >= 1.0 / 255.0)
+        test_T = T * (1.0 - alpha)
+        contribute = guards & ~done & (test_T.detach() >= 1e-4)
+        w = torch.where(contribute, alpha * T, torch.zeros(()))
+        C = C + w[:, None] * col_t[g][None, :]
+        T = torch.where(contribute, test_T, T)
+        done = done | (guards & (test_T.detach() < 1e-4))
+    img_t = C + T[:, None] * bg_t[None, :]
+    loss_t = (img_t.reshape(H, Wd, 3).permute(2, 0, 1) * Wt).sum()
+    loss_t.backward()
+
+    np.testing.assert_allclose(
+        np.asarray(d_col), col_t.grad.numpy(), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_op).reshape(-1), op_t.grad.numpy(), atol=1e-4
+    )
