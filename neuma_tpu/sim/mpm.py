@@ -339,67 +339,6 @@ def p2g(
     return p2g_scatter(constants, statics, state, stress)
 
 
-def scatter_separable(
-    constants: MPMConstants,
-    x: jnp.ndarray,
-    gate: jnp.ndarray,
-    b_vec: jnp.ndarray,
-    A_mat: jnp.ndarray,
-    chunk: int = 16384,
-) -> jnp.ndarray:
-    """Sum_p w_tap * gate_p * (b_p + A_p @ dpos_tap) over the 3^3 stencil
-    as separable matmuls (the same factorization as ``p2g_matmul``).
-    Returns a (G^3, 3) grid field. Used for the G2P custom VJP, whose
-    grid cotangent has exactly this scatter structure."""
-    g = constants.num_grids
-    dtype = x.dtype
-    n = x.shape[0]
-    dx = constants.dx
-
-    W, Wi, base, fx = _axis_weights(constants, x)
-    Wx, Wy, Wz = W
-    Wix, Wiy, Wiz = Wi
-    Wx = Wx * gate[:, None]
-    Wix = Wix * gate[:, None]
-
-    b_eff = b_vec - jnp.einsum("nij,nj->ni", A_mat, fx) * dx
-    a_cols = A_mat * dx
-    prec = jax.lax.Precision.HIGHEST
-
-    def accumulate(sl):
-        wx, wy, wz = Wx[sl], Wy[sl], Wz[sl]
-        wix, wiy, wiz = Wix[sl], Wiy[sl], Wiz[sl]
-        m_rows = wy.shape[0]
-        yz = (wy[:, :, None] * wz[:, None, :]).reshape(m_rows, g * g)
-        yz_i = (wiy[:, :, None] * wz[:, None, :]).reshape(m_rows, g * g)
-        yz_k = (wy[:, :, None] * wiz[:, None, :]).reshape(m_rows, g * g)
-        b = b_eff[sl]
-        a = a_cols[sl]
-        out = []
-        for r in range(3):
-            lhs = (
-                yz * b[:, r : r + 1]
-                + yz_i * a[:, r, 1][:, None]
-                + yz_k * a[:, r, 2][:, None]
-            )
-            term = jnp.matmul(wx.T, lhs, precision=prec)
-            term = term + jnp.matmul(
-                wix.T, yz * a[:, r, 0][:, None], precision=prec
-            )
-            out.append(term)
-        return jnp.stack(out, axis=-1)  # (G, G^2, 3)
-
-    if n <= chunk:
-        field = accumulate(slice(None))
-    else:
-        field = jnp.zeros((g, g * g, 3), dtype)
-        for start in range(0, n, chunk):
-            field = field + accumulate(
-                slice(start, min(start + chunk, n))
-            )
-    return field.reshape(g ** 3, 3)
-
-
 def grid_op(
     constants: MPMConstants, grid_m: jnp.ndarray, grid_mv: jnp.ndarray
 ) -> jnp.ndarray:
