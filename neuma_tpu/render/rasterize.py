@@ -371,6 +371,10 @@ def _build_aligned_pairs(
     """
     from .pallas_raster import CHUNK
 
+    assert cfg.max_pairs % CHUNK == 0, (
+        f"max_pairs ({cfg.max_pairs}) must be a multiple of the kernel "
+        f"CHUNK ({CHUNK}) so tile ranges stay CHUNK-aligned"
+    )
     n = depth.shape[0]
     x0, y0, x1, y1, tiles_x, tiles_y = _tile_ranges(
         mean2d, radius, width, height

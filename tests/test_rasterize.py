@@ -305,3 +305,71 @@ def test_builders_agree_at_realcapture_resolution():
         ]
         ref = [g for g in tile_mat[t] if g >= 0]
         assert lst == ref, (t, lst[:5], ref[:5])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_builders_agree_fuzz(seed):
+    """Random scenes/budgets: the aligned-pair layout always matches the
+    tile-matrix builder per tile (depth order included), and the
+    overflow flags agree about the pair budget — including budgets at
+    and just below the exact pair count."""
+    from neuma_tpu.render.camera import Camera
+    from neuma_tpu.render.gaussians import create_from_points
+    from neuma_tpu.render.rasterize import (
+        RasterConfig,
+        _build_aligned_pairs,
+        _build_tile_lists,
+        _project,
+        _tile_ranges,
+    )
+
+    r = np.random.default_rng(100 + seed)
+    n = int(r.integers(50, 400))
+    w = int(r.integers(4, 14)) * 16
+    h = int(r.integers(4, 14)) * 16
+    pts = (0.3 + 0.4 * r.random((n, 3))).astype(np.float32)
+    pack = create_from_points(
+        pts, r.random((n, 3)).astype(np.float32), sh_degree=0
+    )
+    cam = Camera.look_at(
+        eye=np.array([0.5, 0.6, -1.5 - r.random()]),
+        target=np.array([0.5, 0.5, 0.5]),
+        fov=0.7 + 0.4 * r.random(),
+        width=w,
+        height=h,
+    )
+    depth, vis, m2d, conic, radius = jax.jit(
+        lambda m: _project(m, pack.get_covariance(), cam)
+    )(jnp.asarray(pts))
+
+    x0, y0, x1, y1, tx, ty = _tile_ranges(m2d, radius, w, h)
+    area = jnp.where(vis & (radius > 0), (x1 - x0) * (y1 - y0), 0)
+    total = int(area.sum())
+    if total == 0:
+        pytest.skip("nothing visible")
+
+    ceil32 = -(-total // 32) * 32
+    floor32 = max((total - 1) // 32 * 32, 32)
+    cases = [(ceil32, False), (ceil32 + 64, False)]
+    if floor32 < total:
+        cases.append((floor32, True))
+    for max_pairs, expect_ovf in cases:
+        cfg = RasterConfig(max_pairs=max_pairs, max_per_tile=1024)
+        tile_mat, tiles_x, tiles_y, ovf1 = jax.jit(
+            lambda *a: _build_tile_lists(*a, w, h, cfg)
+        )(depth, vis, m2d, radius)
+        pair_gid, pair_valid, tile_start, _, _, ovf2 = jax.jit(
+            lambda *a: _build_aligned_pairs(*a, w, h, cfg)
+        )(depth, vis, m2d, radius)
+        assert bool(ovf2) == expect_ovf, (max_pairs, total)
+        if expect_ovf:
+            continue  # layouts may drop pairs, only the flag matters
+        tile_mat = np.asarray(tile_mat)
+        pair_gid = np.asarray(pair_gid)
+        pair_valid = np.asarray(pair_valid)
+        tile_start = np.asarray(tile_start)
+        for t in range(tiles_x * tiles_y):
+            a, b = tile_start[t], tile_start[t + 1]
+            lst = [pair_gid[j] for j in range(a, b) if pair_valid[j]]
+            ref = [g for g in tile_mat[t] if g >= 0]
+            assert lst == ref, (seed, max_pairs, t)
