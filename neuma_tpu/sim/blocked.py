@@ -318,6 +318,29 @@ def _apic_bwd_impl(constants, x, gm, b, A, du, df, sort=None):
     return _apic_bwd_jnp(constants, x, gm, b, A, du, df)
 
 
+def _apic_bwd_dual_impl(
+    constants, x, gm, b, A, du, df, b2, A2, gv, sort=None
+):
+    """Two independent tap-gather adjoints of one step, fused into a
+    single kernel pass on TPU (shared one-hot factor build): problem 1
+    is the p2g scatter adjoint, problem 2 the g2p position adjoint.
+    Returns (dx1, dgm, db, dA, dx2)."""
+    if jax.default_backend() == "tpu" and constants.num_grids > 24:
+        from .p2g_kernel import apic_dual_gather_tpu
+
+        dx1, dgm, db, dA, dx2 = apic_dual_gather_tpu(
+            constants, x, gm, b, A, df, du, b2, A2, gv, sort=sort
+        )
+        if du is None or gm is None:
+            dgm = None
+        return dx1, dgm, db, dA, dx2
+    dx1, dgm, db, dA = _apic_bwd_impl(constants, x, gm, b, A, du, df, sort)
+    dx2, _, _, _ = _apic_bwd_impl(
+        constants, x, None, b2, A2, None, gv, sort
+    )
+    return dx1, dgm, db, dA, dx2
+
+
 # --------------------------------------------------------------------------
 # dense fallback (tiny grids) — same channel math without blocking
 # --------------------------------------------------------------------------

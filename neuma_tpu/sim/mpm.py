@@ -589,7 +589,7 @@ def _mpm_step_bwd(residuals, g):
         constants, statics, state, stress, sort,
         grid_m, grid_mv, new_v, new_C,
     ) = residuals
-    from .blocked import _apic_bwd_impl, _forward_dispatch
+    from .blocked import _apic_bwd_dual_impl, _forward_dispatch
 
     # 1. tail (F update / advection / clamp / freeze): cheap elementwise
     #    re-run under jax.vjp.
@@ -599,17 +599,13 @@ def _mpm_step_bwd(residuals, g):
     )
     d_state_t, d_new_v, d_new_C = vjp_tail(g)
 
-    # 2. g2p tap contractions: grid cotangent via the blocked scatter
-    #    (the exact transpose), position cotangent via the gather kernel
-    #    against the (recomputed, 12-flop/cell) grid velocities.
+    # 2. g2p grid cotangent via the blocked scatter (the exact
+    #    transpose of the tap gather).
     kappa = 4.0 * constants.inv_dx * constants.inv_dx
     A = kappa * d_new_C
     grid_v = grid_op(constants, grid_m, grid_mv)
     _, d_grid_v = _forward_dispatch(
         constants, state.x, None, d_new_v, A, "auto", sort
-    )
-    d_x_g2p, _, _, _ = _apic_bwd_impl(
-        constants, state.x, None, d_new_v, A, None, grid_v, sort
     )
 
     # 3. grid_op (momentum -> velocity + BC): elementwise vjp from the
@@ -619,11 +615,14 @@ def _mpm_step_bwd(residuals, g):
     )
     d_m, d_mv = vjp_gop(d_grid_v)
 
-    # 4. p2g: closed-form scatter adjoint (27-tap gather) + vjp of the
-    #    cheap per-particle channel prep.
+    # 4. ONE fused tap-gather pass: the p2g scatter adjoint (27-tap
+    #    gather of (d_mv, d_m)) and the g2p position adjoint (gather of
+    #    grid_v weighted by (d_new_v, kappa d_new_C)) are independent
+    #    given d_m/d_mv, and share the kernel's one-hot factor build.
     mass, b, affine = _p2g_terms(constants, statics, state, stress)
-    d_x_s, dgm, db, dA = _apic_bwd_impl(
-        constants, state.x, mass, b, affine, d_m, d_mv, sort
+    d_x_s, dgm, db, dA, d_x_g2p = _apic_bwd_dual_impl(
+        constants, state.x, mass, b, affine, d_m, d_mv,
+        d_new_v, A, grid_v, sort,
     )
     _, vjp_prep = jax.vjp(
         lambda st, sr: _p2g_terms(constants, statics, st, sr),
