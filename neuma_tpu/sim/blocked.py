@@ -318,6 +318,17 @@ def _apic_bwd_impl(constants, x, gm, b, A, du, df, sort=None):
     return _apic_bwd_jnp(constants, x, gm, b, A, du, df)
 
 
+def _dual_bwd_enabled() -> bool:
+    """The fused kernel holds ~2x the single kernel's live VMEM
+    (estimated ~13 MB of the ~16 MB budget at C=256) and has not yet
+    been compiled on real hardware (the TPU tunnel was down when it was
+    written) — keep it opt-in until measured. Correctness is covered in
+    interpret mode either way."""
+    import os
+
+    return os.environ.get("NEUMA_DUAL_BWD", "0") == "1"
+
+
 def _apic_bwd_dual_impl(
     constants, x, gm, b, A, du, df, b2, A2, gv, sort=None
 ):
@@ -325,7 +336,11 @@ def _apic_bwd_dual_impl(
     single kernel pass on TPU (shared one-hot factor build): problem 1
     is the p2g scatter adjoint, problem 2 the g2p position adjoint.
     Returns (dx1, dgm, db, dA, dx2)."""
-    if jax.default_backend() == "tpu" and constants.num_grids > 24:
+    if (
+        jax.default_backend() == "tpu"
+        and constants.num_grids > 24
+        and _dual_bwd_enabled()
+    ):
         from .p2g_kernel import apic_dual_gather_tpu
 
         dx1, dgm, db, dA, dx2 = apic_dual_gather_tpu(
