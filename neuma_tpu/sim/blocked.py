@@ -341,10 +341,14 @@ def _apic_bwd_dual_impl(
         and constants.num_grids > 24
         and _dual_bwd_enabled()
     ):
-        from .p2g_kernel import apic_dual_gather_tpu
+        import os
 
+        from .p2g_kernel import GATHER_CHUNK, apic_dual_gather_tpu
+
+        chunk = int(os.environ.get("NEUMA_DUAL_CHUNK", GATHER_CHUNK))
         dx1, dgm, db, dA, dx2 = apic_dual_gather_tpu(
-            constants, x, gm, b, A, df, du, b2, A2, gv, sort=sort
+            constants, x, gm, b, A, df, du, b2, A2, gv,
+            sort=sort, chunk=chunk,
         )
         if du is None or gm is None:
             dgm = None

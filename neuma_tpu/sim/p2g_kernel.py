@@ -854,15 +854,17 @@ def apic_dual_gather_tpu(
     gv: jnp.ndarray,
     interpret: bool = False,
     sort: Optional[BlockSort] = None,
+    chunk: int = GATHER_CHUNK,
 ):
     """Fused backward tap-gathers for one MPM step: problem 1 is the
     p2g scatter adjoint (payload gm/b/A vs slab (df, du)), problem 2 is
     the g2p position adjoint (payload (b2, A2) = (v-cot, kappa*C-cot)
     vs slab gv = grid velocities). One kernel pass shares the one-hot
-    factor build. Returns (dx1, dgm, db, dA, dx2)."""
+    factor build. Returns (dx1, dgm, db, dA, dx2). ``chunk`` can be
+    lowered (e.g. 128) to halve the kernel's live VMEM."""
     n = x.shape[0]
     g = constants.num_grids
-    layout, bsort = _resolve_layout(constants, x, GATHER_CHUNK, sort)
+    layout, bsort = _resolve_layout(constants, x, chunk, sort)
     payload = pack_payload(
         constants, layout, bsort.fx, bsort.loc, gm, b, A
     )
