@@ -222,3 +222,30 @@ def test_dual_gather_matches_two_singles():
     np.testing.assert_allclose(db, r1[2], rtol=0, atol=1e-6)
     np.testing.assert_allclose(dA, r1[3], rtol=0, atol=1e-6)
     np.testing.assert_allclose(dx2, r2[0], rtol=0, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_blocked_fuzz_random_sizes(seed):
+    """Random particle counts / grid sizes (incl. awkward mod-BLOCK
+    remainders): blocked forward == scatter reference, and the step
+    gradient stays finite through mpm_step_diff."""
+    r = np.random.default_rng(50 + seed)
+    g = int(r.integers(25, 90))
+    n = int(r.integers(100, 1500))
+    constants, statics, state, stress = _scene(g=g, n=n)
+    m_ref, mv_ref = mpm.p2g_scatter(constants, statics, state, stress)
+    x, gm, b, A = _raw_inputs(constants, statics, state, stress)
+    m_blk, f_blk = _blocked_forward(constants, x, gm, b, A)
+    scale = float(jnp.max(jnp.abs(mv_ref))) + 1e-12
+    np.testing.assert_allclose(
+        m_blk, m_ref, rtol=0, atol=1e-5 * float(jnp.max(m_ref))
+    )
+    np.testing.assert_allclose(f_blk, mv_ref, rtol=0, atol=2e-5 * scale)
+
+    def loss(st, sr):
+        out = mpm.mpm_step_diff(constants, statics, st, sr)
+        return jnp.sum(out.x ** 2) + jnp.sum(out.v ** 2)
+
+    gs, gsr = jax.grad(loss, argnums=(0, 1))(state, stress)
+    for leaf in jax.tree_util.tree_leaves((gs, gsr)):
+        assert bool(jnp.isfinite(leaf).all()), (g, n)
