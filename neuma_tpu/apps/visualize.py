@@ -64,8 +64,9 @@ def make_adaptor_registry(obj_cfg: Config, base_dir: Path, seed: int):
     plasticity = InvariantFullMetaPlasticity(
         MetaMaterialConfig.from_cfg(obj_cfg.constitution.plasticity)
     )
-    r = int(obj_cfg.constitution.lora.r)
-    alpha = float(obj_cfg.constitution.lora.alpha)
+    lora_cfg = obj_cfg.constitution.get("lora", {})
+    r = int(lora_cfg.get("r", 1))
+    alpha = float(lora_cfg.get("alpha", 1))
     base_models = Path(
         str(obj_cfg.get("pretrained_ckpt", ""))
     ).parent

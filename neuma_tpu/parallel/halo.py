@@ -131,14 +131,20 @@ def partition_particles(
 
 
 def unpartition(part: Partition, n: int, template: ParticleState) -> ParticleState:
-    """Scatter bins back to the original particle order."""
+    """Scatter bins back to the original particle order.
+
+    Particles absent from the bins (dropped on capacity overflow) keep
+    their ``template`` state — they freeze in place for the step rather
+    than being silently zeroed, so a missed overflow flag degrades
+    gracefully."""
 
     def put(binned, orig):
         flat_src = part.perm.reshape(-1)
         flat_val = binned.reshape((-1,) + binned.shape[2:])
         mask = part.valid.reshape(-1)
         flat_src = jnp.where(mask, flat_src, n)  # dump padding
-        out = jnp.zeros((n + 1,) + flat_val.shape[1:], flat_val.dtype)
+        pad = jnp.zeros((1,) + orig.shape[1:], orig.dtype)
+        out = jnp.concatenate([orig, pad], axis=0)
         out = out.at[flat_src].set(flat_val)
         return out[:n]
 

@@ -76,6 +76,16 @@ class RasterConfig:
     # parallel/sharding.py::tile_sharding and tests/test_parallel.py.
     tile_sharding: Optional[object] = None
 
+    def __post_init__(self):
+        # The pair builders divide pair offsets exactly in f32
+        # (_pair_tile_ids); past 2^24 the quotient silently rounds and
+        # tile ids go wrong — and the overflow errors tell users to
+        # raise max_pairs, so guard the ceiling loudly.
+        assert self.max_pairs < (1 << 24), (
+            f"max_pairs ({self.max_pairs}) must stay below 2^24: pair "
+            "placement relies on exact f32 integer arithmetic"
+        )
+
     def resolve_backend(self) -> str:
         if self.backend != "auto":
             return self.backend
@@ -204,29 +214,15 @@ def _sort_pairs_by_tile(tile_id, gid_c, num_tiles, max_pairs):
     return sorted_tile, sorted_gid
 
 
-def _run_fill(values, starts_c, ends_c, max_pairs):
-    """Expand per-gaussian ``values`` to per-pair without P-scale
-    gathers (slow on TPU): add +v at each gaussian's first pair slot
-    and -v at its end slot (== the next run's start), then an inclusive
-    cumsum reconstructs the constant-per-run sequence. Empty runs
-    cancel in place; a run straddling the budget edge keeps its value
-    through the tail (those pairs are masked as invalid anyway).
-    ``values`` must be non-negative int32."""
-    acc = (
-        jnp.zeros((max_pairs + 1,), jnp.int32)
-        .at[starts_c]
-        .add(values)
-        .at[ends_c]
-        .add(-values)
-    )[:max_pairs]
-    return jnp.cumsum(acc)
-
-
 def _pair_attributes(order, x0s, y0s, w_t, starts, offsets, cfg,
                      tiles_x, tiles_y):
     """Per-pair (tile_id inputs, original gaussian id, run start) via
-    three run-fills. Geometry (tile-rect x0/y0/width) packs into one
-    fill; 3 * bits(tiles) <= 30 up to 16K-pixel images."""
+    three run-fills: expand per-gaussian values to per-pair without
+    P-scale gathers by adding +v at each gaussian's first pair slot and
+    -v at its end slot, then cumsum reconstructs the constant-per-run
+    sequence (empty runs cancel in place; a run straddling the budget
+    edge is masked invalid downstream). Geometry (tile-rect x0/y0/width)
+    packs into one fill; 3 * bits(tiles) <= 30 up to 16K-pixel images."""
     b = max(int(tiles_x).bit_length(), int(tiles_y).bit_length())
     assert 3 * b <= 30, f"image too large for packed tile fill ({b} bits)"
     mask = (1 << b) - 1

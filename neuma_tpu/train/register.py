@@ -137,22 +137,29 @@ def register_gaussians(
         return loss, overflow
 
     @jax.jit
-    def step(params, opt_state):
+    def step(params, opt_state, ever_ovf):
         (loss, overflow), g = jax.value_and_grad(loss_fn, has_aux=True)(
             params
         )
         updates, opt_state = opt.update(g, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, overflow
+        # Accumulate device-side so a transient overflow between log
+        # points is never missed (checked every log_every iterations).
+        return params, opt_state, loss, ever_ovf | overflow
 
     losses = []
+    ever_ovf = jnp.bool_(False)
     for it in range(1, cfg.iterations + 1):
-        params, opt_state, loss, overflow = step(params, opt_state)
-        if (it == 1 or it % log_every == 0) and bool(overflow):
+        params, opt_state, loss, ever_ovf = step(
+            params, opt_state, ever_ovf
+        )
+        if (
+            it == 1 or it % log_every == 0 or it == cfg.iterations
+        ) and bool(ever_ovf):
             from .grounding import PairBudgetOverflowError
 
             raise PairBudgetOverflowError(
-                f"raster pair budget exceeded at registration iter {it}:"
+                f"raster pair budget exceeded by registration iter {it}:"
                 " raise raster.max_pairs/max_per_tile"
             )
         if it % log_every == 0 or it == cfg.iterations:

@@ -222,32 +222,53 @@ def test_per_tile_depth_overflow_signal(rng):
     assert bool(aux["overflow"])
 
 
-def test_run_fill_matches_gather():
-    """_run_fill == V[gid] for random run lengths, including empty runs
-    and a run straddling the budget edge."""
-    from neuma_tpu.render.rasterize import _run_fill
+def test_pair_attributes_run_fill_matches_gather():
+    """The run-fill inside _pair_attributes equals direct per-pair
+    expansion V[gid] for random run lengths, including empty runs and a
+    run straddling the budget edge."""
+    from neuma_tpu.render.rasterize import RasterConfig, _pair_attributes
 
     rng = np.random.default_rng(11)
-    n, max_pairs = 40, 256
+    n = 40
+    tiles_x, tiles_y = 7, 5
     area = rng.integers(0, 20, n)
     area[rng.random(n) < 0.4] = 0  # plenty of empty runs
-    offsets = np.cumsum(area)
-    starts = offsets - area
-    vals = rng.integers(0, 1 << 20, n).astype(np.int32)
+    offsets = np.cumsum(area).astype(np.int32)
+    starts = (offsets - area).astype(np.int32)
+    order = rng.permutation(n).astype(np.int32)
+    x0s = rng.integers(0, tiles_x, n).astype(np.int32)
+    y0s = rng.integers(0, tiles_y, n).astype(np.int32)
+    w_t = rng.integers(1, tiles_x + 1, n).astype(np.int32)
+    cfg = RasterConfig(max_pairs=256, max_per_tile=16)
 
-    sc = jnp.clip(jnp.asarray(starts, jnp.int32), 0, max_pairs)
-    ec = jnp.clip(jnp.asarray(offsets, jnp.int32), 0, max_pairs)
-    filled = np.asarray(
-        _run_fill(jnp.asarray(vals), sc, ec, max_pairs)
-    )
+    x0p, y0p, twp, pair_orig, pair_start = [
+        np.asarray(a)
+        for a in _pair_attributes(
+            jnp.asarray(order), jnp.asarray(x0s), jnp.asarray(y0s),
+            jnp.asarray(w_t), jnp.asarray(starts), jnp.asarray(offsets),
+            cfg, tiles_x, tiles_y,
+        )
+    ]
 
     # direct expansion
-    expect = np.zeros(max_pairs, np.int32)
+    live = min(int(offsets[-1]), cfg.max_pairs)
+    ex_x0 = np.zeros(cfg.max_pairs, np.int32)
+    ex_y0 = np.zeros(cfg.max_pairs, np.int32)
+    ex_tw = np.zeros(cfg.max_pairs, np.int32)
+    ex_orig = np.zeros(cfg.max_pairs, np.int32)
+    ex_start = np.zeros(cfg.max_pairs, np.int32)
     for g in range(n):
-        a, b = starts[g], min(offsets[g], max_pairs)
-        expect[a:b] = vals[g]
-    live = min(offsets[-1], max_pairs)
-    np.testing.assert_array_equal(filled[:live], expect[:live])
+        a, b = starts[g], min(offsets[g], cfg.max_pairs)
+        ex_x0[a:b] = x0s[g]
+        ex_y0[a:b] = y0s[g]
+        ex_tw[a:b] = w_t[g]
+        ex_orig[a:b] = order[g]
+        ex_start[a:b] = starts[g]
+    np.testing.assert_array_equal(x0p[:live], ex_x0[:live])
+    np.testing.assert_array_equal(y0p[:live], ex_y0[:live])
+    np.testing.assert_array_equal(twp[:live], ex_tw[:live])
+    np.testing.assert_array_equal(pair_orig[:live], ex_orig[:live])
+    np.testing.assert_array_equal(pair_start[:live], ex_start[:live])
 
 
 def test_builders_agree_at_realcapture_resolution():
