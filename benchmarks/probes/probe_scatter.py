@@ -94,7 +94,7 @@ pb = jax.jit(
 timed("fold blocks -> grid",
       lambda c: _fold_blocks(
           (pb + c * 1e-12).reshape(nb ** 3, 4, S, S, S)
-          .transpose(0, 2, 3, 4, 1), g, nb, BLOCK))
+          .transpose(0, 2, 3, 4, 1), (g, g, g), (nb, nb, nb), BLOCK))
 
 # gather side
 layout2, _, fx2, loc2 = jax.jit(
@@ -107,8 +107,8 @@ payload2 = jax.jit(
 )(0)
 grid_ch = jnp.concatenate([df, du[:, None]], axis=1)
 timed("unfold grid -> slabs",
-      lambda c: unfold_blocks(grid_ch + c * 1e-12, g, nb))
-slabs = jax.jit(lambda: unfold_blocks(grid_ch, g, nb))()
+      lambda c: unfold_blocks(grid_ch + c * 1e-12, (g, g, g), (nb, nb, nb)))
+slabs = jax.jit(lambda: unfold_blocks(grid_ch, (g, g, g), (nb, nb, nb)))()
 timed("gather kernel (derivs)",
       lambda c: run_apic_gather(
           payload2 + c * 1e-12, slabs, layout2.c2b, M2,

@@ -231,12 +231,26 @@ def main(argv=None):
             off += n
         return jnp.concatenate(outs)
 
+    # Blocked path: one block sort carried across the rollout, refreshed
+    # per step (rebuilt only on block crossings) — layouts depend only
+    # on positions, so the per-step enabled-span statics updates below
+    # don't invalidate them.
+    if constants.num_grids > 24:
+        from ..sim.p2g_kernel import (
+            build_step_layouts,
+            refresh_step_layouts,
+        )
+    else:
+        build_step_layouts = refresh_step_layouts = None
+
     @jax.jit
-    def sim_frame(state, statics):
+    def sim_frame(state, statics, layouts):
+        if layouts is not None:
+            layouts, _ = refresh_step_layouts(constants, state.x, layouts)
         stress = elasticity.apply(pes, state.F)
-        new = mpm_step(constants, statics, state, stress)
+        new = mpm_step(constants, statics, state, stress, layouts)
         F = plasticity.apply(pps, new.F)
-        return dataclasses.replace(new, F=F)
+        return dataclasses.replace(new, F=F), layouts
 
     render_jit = jax.jit(
         lambda m, c, cam: rasterize_with_aux(
@@ -287,6 +301,11 @@ def main(argv=None):
         s[0] > 0 or s[1] <= args.eval_steps for s in spans
     )
 
+    layouts = (
+        jax.jit(build_step_layouts)(constants, state.x)
+        if build_step_layouts is not None
+        else None
+    )
     for step in range(1, args.eval_steps + 1):
         if dynamic_spans:
             # Per-step enabled spans (reference
@@ -294,7 +313,7 @@ def main(argv=None):
             statics = statics.with_enabled_at_step(
                 sections, spans, step
             )
-        state = sim_frame(state, statics)
+        state, layouts = sim_frame(state, statics, layouts)
         de_x = maybe_denorm(state.x)
         # per-object binding application, then concat (reference
         # preprocess_for_rasterization, tune/utils.py:475-523)

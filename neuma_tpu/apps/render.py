@@ -153,12 +153,30 @@ def main(argv=None):
     opacity = scene.gaussians.get_opacity
     shs = scene.gaussians.get_features
 
+    # Blocked path: one block sort carried across the whole rollout,
+    # refreshed per step (rebuilt only when a particle crossed a block
+    # boundary) — see sim/p2g_kernel.refresh_step_layouts.
+    if scene.constants.num_grids > 24:
+        from ..sim.p2g_kernel import (
+            build_step_layouts,
+            refresh_step_layouts,
+        )
+
+        layouts = jax.jit(build_step_layouts)(scene.constants, state.x)
+    else:
+        layouts = None
+
     @jax.jit
-    def sim_frame(state):
+    def sim_frame(state, layouts):
+        if layouts is not None:
+            layouts, _ = refresh_step_layouts(
+                scene.constants, state.x, layouts
+            )
         stress = elasticity.apply(pe, state.F)
-        new = mpm_step(scene.constants, scene.statics, state, stress)
+        new = mpm_step(scene.constants, scene.statics, state, stress,
+                       layouts)
         F = plasticity.apply(pp, new.F)
-        return dataclasses.replace(new, F=F)
+        return dataclasses.replace(new, F=F), layouts
 
     def render_frame(means3d, cov_def, cam):
         if force_mask:
@@ -197,7 +215,7 @@ def main(argv=None):
     g_prev = scene.gaussians.xyz
     skip = int(cfg.sim.get("skip_frame", 1))
     for step in range(1, args.eval_steps + 1):
-        state = sim_frame(state)
+        state, layouts = sim_frame(state, layouts)
         if step % skip != 0:
             continue
         de_x = denormalize_points(

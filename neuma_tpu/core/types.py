@@ -93,6 +93,44 @@ class MPMConstants:
 
 
 @_pytree_dataclass
+class GridGeom:
+    """A view of the simulation grid used by the scatter/gather
+    primitives: a (possibly non-cubic) box of ``dims`` cells whose local
+    cell (0,0,0) sits at global cell ``origin``.
+
+    The default (``geom=None`` everywhere) is the full cube
+    ``[0, num_grids)^3``. The halo-exchange sharded step
+    (``parallel/halo.py``) passes per-shard slab views instead: each
+    shard scatters into / gathers from only its ``(w + 2*HALO, G, G)``
+    slab, with ``origin`` carrying the (traced) shard offset. Particle
+    positions stay GLOBAL; the physical edge clamp (to ``[0, G-1]``,
+    matching the reference's index clamp) is applied in global
+    coordinates before translating into the view. Taps falling outside
+    the view contribute nothing (they belong to a neighboring shard's
+    view); callers are responsible for covering every tap of the
+    particles they pass in, or flagging the violation (see
+    ``parallel/halo.py``'s margin flag).
+    """
+
+    dims: Tuple[int, int, int] = static_field()
+    origin: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros(3, jnp.int32)
+    )  # (3,) int32 global cell of local (0,0,0); may be traced per shard
+
+    @property
+    def num_cells(self) -> int:
+        dx, dy, dz = self.dims
+        return dx * dy * dz
+
+    @classmethod
+    def cube(cls, num_grids: int) -> "GridGeom":
+        return cls(
+            dims=(num_grids, num_grids, num_grids),
+            origin=jnp.zeros(3, jnp.int32),
+        )
+
+
+@_pytree_dataclass
 class Statics:
     """Per-particle static properties (reference: ``MPMStatics``,
     ``mpm.py:14-72``). ``enabled`` gates particles in/out of the sim

@@ -1,5 +1,6 @@
 from .distributed import global_mesh, initialize, is_primary
 from .halo import (
+    make_halo_mpm_step,
     make_halo_sim_step,
     partition_particles,
     slab_width,
@@ -17,6 +18,7 @@ __all__ = [
     "global_mesh",
     "initialize",
     "is_primary",
+    "make_halo_mpm_step",
     "make_halo_sim_step",
     "make_mesh",
     "make_sharded_sim_step",

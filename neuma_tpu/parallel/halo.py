@@ -10,24 +10,36 @@ slab+halo buffer, and only the 2-cell halo faces ride the ICI
 Per step (slab width ``w``, shard s owning global x-lines
 [s*w, s*w + w)):
 
-1. local p2g into a (w+4, G, G) region at origin ``s*w - 2`` (particles
-   owned by s have base_x in [s*w, s*w+w), taps reach [s*w, s*w+w+1];
-   the physical edge clamp can pull taps down to line 0/G-1 which stays
-   inside the halo for edge shards);
+1. local p2g into a (w+4, G, G) view at origin ``s*w - 2`` via the SAME
+   differentiable primitives as the single-device step —
+   ``blocked.apic_scatter`` (grid-blocked separable matmuls / Pallas
+   kernels on TPU) with a per-shard ``GridGeom`` view. Particles owned
+   by s have base_x in [s*w, s*w+w), taps reach [s*w, s*w+w+1]; the
+   physical edge clamp can pull taps down to line 0/G-1 which stays
+   inside the halo for edge shards;
 2. ``ppermute`` the two halo faces each way; neighbors add them into
    their owned rows. Cyclic wrap is harmless: the rows that would wrap
    are identically zero (nothing deposits outside [0, G-1]);
-3. grid_op on the owned slab with global coordinates for the box BC;
+3. ``grid_op`` on the owned slab (global coordinates via the view's
+   origin for the box BC);
 4. ``ppermute`` the 2 leading owned rows left so each shard holds
    [s*w, s*w + w + 2) of grid velocity — all that g2p's 27-tap gather
    needs;
-5. local g2p + advection.
+5. local g2p (``g2p_core`` with the same view + shared block sort) +
+   advection.
 
-Ownership is recomputed (particles re-sorted into fixed-capacity
-shard bins) every ``repartition_every`` steps; within that window the
-halo margin covers CFL-bounded drift. New capability vs the reference
-(single GPU, SURVEY.md section 5.8); the north-star item from
-BASELINE.json.
+The whole step is DIFFERENTIABLE: every piece is either a custom-VJP
+primitive (scatter/gather — the closed-form tap adjoints), plain AD
+(grid_op, tail), or ``ppermute`` (whose transpose is the inverse
+permute). Per-step input cotangents are NaN/Inf-scrubbed exactly like
+``mpm_step_diff`` / the reference's ``nan_to_num`` (interface.py:65-74).
+
+Ownership is exact when particles are repartitioned each step (the
+default in ``make_halo_mpm_step``); the step also emits a ``margin_bad``
+flag (an enabled particle's stencil escaped its shard's view) that
+callers must treat like the raster pair-budget overflow. New capability
+vs the reference (single GPU, SURVEY.md section 5.8); the north-star
+item from BASELINE.json.
 """
 from __future__ import annotations
 
@@ -41,8 +53,16 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.types import MPMConstants, ParticleState, Statics
-from ..sim.mpm import _stencil, p2g_matmul
+from ..core.types import GridGeom, MPMConstants, ParticleState, Statics
+from ..sim.blocked import apic_scatter
+from ..sim.mpm import (
+    _g2p_tail,
+    _p2g_terms,
+    g2p_core,
+    grid_op,
+    scrub_cotangents,
+)
+from ..sim.p2g_kernel import build_step_layouts
 
 HALO = 2  # cells of halo on each side of a slab
 
@@ -162,131 +182,122 @@ def make_halo_sim_step(
     axis: str = "dp",
 ):
     """Returns ``step(part_statics, part_state, part_stress) ->
-    new_part_state`` operating on partitioned (n_shards, cap, ...)
-    arrays; grid slabs never exist globally."""
+    (new_part_state, margin_bad)`` operating on partitioned
+    (n_shards, cap, ...) arrays; grid slabs never exist globally.
+
+    Differentiable end to end: p2g runs the blocked ``apic_scatter``
+    (Pallas kernels on TPU) into a per-shard ``GridGeom`` view, g2p the
+    blocked ``g2p_core`` gather from the exchanged slab, with ONE shared
+    per-shard block sort. ``margin_bad`` is a (n_shards,) bool — an
+    enabled particle's stencil left its shard's view, so the step's
+    output (and its gradients) dropped mass; callers must repartition
+    more often or raise capacity."""
     n_shards = mesh.shape[axis]
     g = constants.num_grids
     w = slab_width(g, n_shards)
     size_x = w + 2 * HALO  # local p2g region rows
-    dtype = jnp.float32
-
-    dt = constants.dt
-    inv_dx = constants.inv_dx
-    dx = constants.dx
+    dims = (size_x, g, g)
+    # Mirror mpm._step_sort: the blocked path (which consumes the shared
+    # sort) only engages past the dense-path crossover.
+    blocked = max(dims) > 24
 
     def local_step(statics, state, stress):
         """Runs per shard under shard_map. Shapes: (1, cap, ...) with
         the leading shard axis carried; we squeeze it."""
         shard = jax.lax.axis_index(axis)
-        squeeze = lambda t: jax.tree_util.tree_map(
-            lambda a: a[0], t
-        )
+        squeeze = lambda t: jax.tree_util.tree_map(lambda a: a[0], t)
         statics = squeeze(statics)
         state = squeeze(state)
         stress = stress[0]
+        # Per-step cotangent scrub at the step boundary (reference
+        # interface.py:65-74; mpm_step_diff bakes the same into its
+        # direct adjoint).
+        state, stress = scrub_cotangents((state, stress))
         x_lo = shard * w - HALO
+        zero = jnp.zeros((), jnp.int32)
+        geom = GridGeom(
+            dims=dims,
+            origin=jnp.stack([x_lo.astype(jnp.int32), zero, zero]),
+        )
 
-        # -- 1. local p2g over the slab+halo region -------------------
-        grid_m, grid_mv = p2g_matmul(
-            constants, statics, state, stress,
-            chunk=1 << 30,  # single pass per shard
-            region=((x_lo, size_x), (0, g), (0, g)),
+        # -- 0. ownership margin flag ---------------------------------
+        # g2p needs every enabled particle's stencil inside
+        # [s*w, s*w + w + 2) — i.e. exact slab ownership. (p2g alone
+        # would tolerate +-HALO drift; g2p is the binding constraint.)
+        base_x = jnp.floor(
+            state.x[:, 0] * constants.inv_dx - 0.5
+        ).astype(jnp.int32)
+        owner = jnp.clip(base_x, 0, g - 1) // w
+        margin_bad = jnp.any(
+            (statics.enabled > 0) & (owner != shard)
+        )
+
+        sort = (
+            build_step_layouts(constants, state.x, geom=geom)
+            if blocked
+            else None
+        )
+
+        # -- 1. local p2g over the slab+halo view ----------------------
+        mass, b, affine = _p2g_terms(constants, statics, state, stress)
+        grid_m, grid_f = apic_scatter(
+            constants, state.x, mass, b, affine, sort, geom
         )
         grid_m = grid_m.reshape(size_x, g * g)
-        grid_mv = grid_mv.reshape(size_x, g * g, 3)
+        grid_f = grid_f.reshape(size_x, g * g, 3)
 
         # -- 2. halo exchange of mass/momentum faces ------------------
         # rows [0, HALO) belong to the left neighbor's slab; rows
-        # [HALO+w, size_x) to the right's.
+        # [HALO+w, size_x) to the right's. Cyclic wrap adds only
+        # identically-zero rows (nothing deposits outside [0, G-1]).
         right = [(i, (i + 1) % n_shards) for i in range(n_shards)]
         left = [(i, (i - 1) % n_shards) for i in range(n_shards)]
 
-        def send(rows_m, rows_mv, perm):
+        def send(rows_m, rows_f, perm):
             m = jax.lax.ppermute(rows_m, axis, perm)
-            mv = jax.lax.ppermute(rows_mv, axis, perm)
-            return m, mv
+            f = jax.lax.ppermute(rows_f, axis, perm)
+            return m, f
 
-        lo_m, lo_mv = send(grid_m[:HALO], grid_mv[:HALO], left)
-        hi_m, hi_mv = send(
-            grid_m[HALO + w :], grid_mv[HALO + w :], right
-        )
+        lo_m, lo_f = send(grid_m[:HALO], grid_f[:HALO], left)
+        hi_m, hi_f = send(grid_m[HALO + w :], grid_f[HALO + w :], right)
         own_m = grid_m[HALO : HALO + w]
-        own_mv = grid_mv[HALO : HALO + w]
+        own_f = grid_f[HALO : HALO + w]
         # left-neighbor's hi face lands on our leading rows; right's lo
         # face on our trailing rows.
         own_m = own_m.at[:HALO].add(hi_m).at[w - HALO :].add(lo_m)
-        own_mv = own_mv.at[:HALO].add(hi_mv).at[w - HALO :].add(lo_mv)
+        own_f = own_f.at[:HALO].add(hi_f).at[w - HALO :].add(lo_f)
 
-        # -- 3. grid_op on the owned slab (global coords for BC) ------
-        gv = constants.gravity.astype(dtype) * dt
-        has_mass = own_m > 0.0
-        denom = jnp.where(has_mass, own_m + constants.eps, 1.0)[..., None]
-        v = jnp.where(has_mass[..., None], own_mv / denom + gv, gv)
-
-        rows = shard * w + jnp.arange(w, dtype=jnp.int32)  # global x
-        yz = jnp.arange(g * g, dtype=jnp.int32)
-        py = yz // g
-        pz = yz % g
-        coords = jnp.stack(
-            [
-                jnp.broadcast_to(rows[:, None], (w, g * g)),
-                jnp.broadcast_to(py[None, :], (w, g * g)),
-                jnp.broadcast_to(pz[None, :], (w, g * g)),
-            ],
-            axis=-1,
+        # -- 3. grid_op on the owned slab (global coords via origin) --
+        geom_own = GridGeom(
+            dims=(w, g, g),
+            origin=jnp.stack([(shard * w).astype(jnp.int32), zero, zero]),
         )
-        bound = constants.bound
-        lo_v = coords < bound
-        hi_v = coords >= (g - bound)
-        neg = v < 0.0
-        pos = v > 0.0
-        violating = (lo_v & neg) | (hi_v & pos)
-        if constants.bc == "freeslip":
-            v = jnp.where(violating, 0.0, v)
-        elif constants.bc == "noslip":
-            v = jnp.where(
-                jnp.any(violating, axis=-1, keepdims=True), 0.0, v
-            )
-        else:
-            raise ValueError(f"invalid boundary condition: {constants.bc}")
+        v = grid_op(
+            constants,
+            own_m.reshape(-1),
+            own_f.reshape(-1, 3),
+            geom_own,
+        ).reshape(w, g * g, 3)
 
         # -- 4. gather the 2 leading rows of the RIGHT neighbor -------
         lead = jax.lax.ppermute(v[:HALO], axis, left)
-        v_ext = jnp.concatenate([v, lead], axis=0)  # (w+2, G^2)
+        # Full-view velocity buffer: rows [0, HALO) are never tapped by
+        # an owned particle (taps start at local HALO), so zeros keep
+        # the buffer aligned with the scatter view — ONE shared block
+        # sort serves both primitives.
+        v_full = jnp.concatenate(
+            [jnp.zeros((HALO,) + v.shape[1:], v.dtype), v, lead], axis=0
+        )
 
-        # -- 5. local g2p + advection (global math, local rows) -------
-        base, weight, dpos, _ = _stencil(constants, state.x)
-        cells = base[:, None, :] + jnp.asarray(
-            np.stack(
-                np.meshgrid(
-                    np.arange(3), np.arange(3), np.arange(3),
-                    indexing="ij",
-                ),
-                axis=-1,
-            ).reshape(27, 3),
-            jnp.int32,
+        # -- 5. local g2p + advection ----------------------------------
+        new_v, new_C = g2p_core(
+            constants, state.x, v_full.reshape(-1, 3), sort, geom
         )
-        cells = jnp.clip(cells, 0, g - 1)
-        local_x = jnp.clip(cells[..., 0] - shard * w, 0, w + HALO - 1)
-        flat = local_x * (g * g) + cells[..., 1] * g + cells[..., 2]
-        v_taps = v_ext.reshape(-1, 3)[flat]  # (N, 27, 3)
-        new_v = jnp.einsum("no,noi->ni", weight, v_taps)
-        new_C = (4.0 * inv_dx * inv_dx) * jnp.einsum(
-            "no,noi,noj->nij", weight, v_taps, dpos
+        out = _g2p_tail(constants, statics, state, new_v, new_C)
+        return (
+            jax.tree_util.tree_map(lambda a: a[None], out),
+            margin_bad[None],
         )
-        eye = jnp.eye(3, dtype=dtype)
-        new_F = (eye + dt * new_C) @ state.F
-        clip = (statics.clip_bound * dx)[:, None]
-        new_x = jnp.clip(state.x + dt * new_v, clip, 1.0 - clip)
-
-        en = (statics.enabled > 0)[:, None]
-        out = ParticleState(
-            x=jnp.where(en, new_x, state.x),
-            v=jnp.where(en, new_v, state.v),
-            C=jnp.where(en[..., None], new_C, state.C),
-            F=jnp.where(en[..., None], new_F, state.F),
-        )
-        return jax.tree_util.tree_map(lambda a: a[None], out)
 
     pspec = P(axis)
     step = shard_map(
@@ -299,8 +310,55 @@ def make_halo_sim_step(
                 x=0, v=0, C=0, F=0)),
             pspec,
         ),
-        out_specs=jax.tree_util.tree_map(
-            lambda _: pspec, ParticleState(x=0, v=0, C=0, F=0)
+        out_specs=(
+            jax.tree_util.tree_map(
+                lambda _: pspec, ParticleState(x=0, v=0, C=0, F=0)
+            ),
+            pspec,
         ),
     )
+    return step
+
+
+def make_halo_mpm_step(
+    constants: MPMConstants,
+    statics: Statics,
+    mesh: Mesh,
+    axis: str = "dp",
+    capacity: Optional[int] = None,
+):
+    """The trainer-facing halo step: ``step(state, stress) ->
+    (new_state, overflow)`` on GLOBAL (N, ...) particle arrays.
+
+    Each call repartitions particles into per-shard slab bins (exact
+    ownership — the margin flag can then only fire on pathological
+    inputs), runs the differentiable halo-exchange step, and scatters
+    the bins back. ``overflow`` ORs the bin-capacity overflow with the
+    ownership-margin flag; training loops must surface it exactly like
+    the raster pair-budget flag (gradients are wrong once it fires).
+
+    ``capacity`` is the static per-shard bin size; default N (always
+    safe — particles may cluster in one slab). Deployments shard scenes
+    whose extent spans the box and can lower it to ~N/n_shards * slack.
+    """
+    n_shards = mesh.shape[axis]
+    inner = make_halo_sim_step(constants, mesh, axis)
+
+    def step(state: ParticleState, stress: jnp.ndarray):
+        n = state.x.shape[0]
+        cap = capacity if capacity is not None else n
+        part = partition_particles(
+            constants, state, statics, n_shards, cap
+        )
+        stress_b = stress[part.perm]
+        stress_b = jnp.where(
+            part.valid[..., None, None], stress_b, 0.0
+        )
+        new_bins, margin_bad = inner(part.statics, part.state, stress_b)
+        new_state = unpartition(
+            dataclasses.replace(part, state=new_bins), n, state
+        )
+        overflow = part.overflow | jnp.any(margin_bad)
+        return new_state, overflow
+
     return step

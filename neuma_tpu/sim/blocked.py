@@ -51,7 +51,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.types import MPMConstants
+from ..core.types import GridGeom, MPMConstants
 
 # Block/chunk sizing. S = BLOCK + 2 = 16 keeps the local matmuls on
 # clean (16, C) @ (C, 256) shapes (f32 tiles are (8, 128)).
@@ -102,25 +102,40 @@ def _fold_axis(x: jnp.ndarray, nb: int, block: int) -> jnp.ndarray:
     return out.reshape(x.shape[:-3] + (nbd * block,) + x.shape[-1:])
 
 
-def _fold_blocks(pb: jnp.ndarray, g: int, nb: int, block: int) -> jnp.ndarray:
-    """Fold per-block (NB, S, S, S, CH) buffers onto the (g, g, g, CH)
-    grid: per axis, block cores reshape-concatenate and the 2-line halo
-    tails add one block over — pure reshapes/pads, no serialized
-    slice-add chain."""
+def _fold_blocks(
+    pb: jnp.ndarray,
+    dims: Tuple[int, int, int],
+    nbs: Tuple[int, int, int],
+    block: int,
+) -> jnp.ndarray:
+    """Fold per-block (NB, S, S, S, CH) buffers onto the (gx, gy, gz,
+    CH) grid view: per axis, block cores reshape-concatenate and the
+    2-line halo tails add one block over — pure reshapes/pads, no
+    serialized slice-add chain. ``nbs`` are the per-axis block counts
+    (x-major flat block order)."""
     S = block + 2
+    gx, gy, gz = dims
+    nbx, nby, nbz = nbs
     ch = pb.shape[-1]
-    bl = pb.reshape(nb, nb, nb, S, S, S, ch)
+    bl = pb.reshape(nbx, nby, nbz, S, S, S, ch)
     # fold z: (..., nb_z, S_z, ch) with nb_z at dim 2, S_z at dim 5
-    t = bl.transpose(0, 1, 3, 4, 2, 5, 6)  # (nb, nb, S, S, nb_z, S_z, ch)
-    t = _fold_axis(t, nb, block)  # (nb, nb, S, S, Gz, ch)
+    t = bl.transpose(0, 1, 3, 4, 2, 5, 6)  # (nbx, nby, S, S, nbz, Sz, ch)
+    t = _fold_axis(t, nbz, block)  # (nbx, nby, S, S, Gz, ch)
     # fold y: nb_y at dim 1, S_y at dim 3
-    t = t.transpose(0, 2, 4, 1, 3, 5)  # (nb, S, Gz, nb_y, S_y, ch)
-    t = _fold_axis(t, nb, block)  # (nb, S, Gz, Gy, ch)
+    t = t.transpose(0, 2, 4, 1, 3, 5)  # (nbx, S, Gz, nby, Sy, ch)
+    t = _fold_axis(t, nby, block)  # (nbx, S, Gz, Gy, ch)
     # fold x: nb_x at dim 0, S_x at dim 1
-    t = t.transpose(2, 3, 0, 1, 4)  # (Gz, Gy, nb_x, S_x, ch)
-    t = _fold_axis(t, nb, block)  # (Gz, Gy, Gx, ch)
+    t = t.transpose(2, 3, 0, 1, 4)  # (Gz, Gy, nbx, Sx, ch)
+    t = _fold_axis(t, nbx, block)  # (Gz, Gy, Gx, ch)
     t = t.transpose(2, 1, 0, 3)  # (Gx, Gy, Gz, ch)
-    return t[:g, :g, :g]
+    return t[:gx, :gy, :gz]
+
+
+def _geom_dims(constants: MPMConstants, geom: Optional[GridGeom]):
+    if geom is None:
+        g = constants.num_grids
+        return (g, g, g)
+    return geom.dims
 
 
 def _blocked_forward(
@@ -132,12 +147,14 @@ def _blocked_forward(
     block: int = BLOCK,
     chunk: int = CHUNK,
     sort=None,
+    geom: Optional[GridGeom] = None,
 ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:
-    """Blocked separable scatter. Returns (grid_m (G^3,) or None,
-    grid_f (G^3, 3)). ``sort`` is a shared ``p2g_kernel.BlockSort``."""
-    g = constants.num_grids
-    nb = _cdiv(g, block)
-    NB = nb ** 3
+    """Blocked separable scatter. Returns (grid_m (num_cells,) or None,
+    grid_f (num_cells, 3)). ``sort`` is a shared ``p2g_kernel.BlockSort``;
+    ``geom`` selects a local grid view (default: the full cube)."""
+    dims = _geom_dims(constants, geom)
+    nbs = tuple(_cdiv(d, block) for d in dims)
+    NB = nbs[0] * nbs[1] * nbs[2]
     S = block + 2
     n = x.shape[0]
     C = chunk
@@ -149,7 +166,7 @@ def _blocked_forward(
     if isinstance(sort, StepLayouts):
         sort = sort.sort
     if sort is None:
-        sort = block_sort(constants, x, block)
+        sort = block_sort(constants, x, block, geom=geom)
     fx, loc = sort.fx, sort.loc
     w, _ = _spline(fx)  # (N, 3, 3)
 
@@ -220,7 +237,9 @@ def _blocked_forward(
     ch = partial_blocks.shape[-1]
     partial_blocks = partial_blocks.reshape(M, S, S, S, ch)
     pb = jnp.zeros((NB, S, S, S, ch), dtype).at[c2b].add(partial_blocks)
-    grid = _fold_blocks(pb, g, nb, block).reshape(g ** 3, ch)
+    grid = _fold_blocks(pb, dims, nbs, block).reshape(
+        dims[0] * dims[1] * dims[2], ch
+    )
 
     grid_f = grid[:, :3]
     grid_m = grid[:, 3] if gm is not None else None
@@ -231,7 +250,14 @@ def _blocked_forward(
 # backward: closed-form tap-space cotangents (27-tap gather, no matmuls)
 # --------------------------------------------------------------------------
 
-def _tap_geometry(constants: MPMConstants, x: jnp.ndarray):
+def _tap_geometry(
+    constants: MPMConstants,
+    x: jnp.ndarray,
+    geom: Optional[GridGeom] = None,
+):
+    """27-tap stencil geometry. With a ``geom`` view, flat indices are
+    local to the view and taps falling outside it are masked to zero
+    weight (they belong to a neighboring shard's view)."""
     g = constants.num_grids
     dtype = x.dtype
     p_x = x * constants.inv_dx
@@ -241,7 +267,6 @@ def _tap_geometry(constants: MPMConstants, x: jnp.ndarray):
 
     offsets = jnp.asarray(_OFFSETS, jnp.int32)  # (27, 3)
     cells = jnp.clip(base[:, None, :] + offsets[None, :, :], 0, g - 1)
-    flat = (cells[..., 0] * g + cells[..., 1]) * g + cells[..., 2]
 
     o0, o1, o2 = _OFFSETS[:, 0], _OFFSETS[:, 1], _OFFSETS[:, 2]
     W = w[:, 0, o0] * w[:, 1, o1] * w[:, 2, o2]  # (N, 27)
@@ -254,7 +279,18 @@ def _tap_geometry(constants: MPMConstants, x: jnp.ndarray):
         axis=-1,
     )  # (N, 27, 3): d W / d fx_a
     dpos = (offsets.astype(dtype)[None] - fx[:, None, :]) * constants.dx
-    return flat, W, gW, dpos
+    if geom is None:
+        flat = (cells[..., 0] * g + cells[..., 1]) * g + cells[..., 2]
+        return flat, W, gW, dpos
+
+    gx, gy, gz = geom.dims
+    loc = cells - geom.origin[None, None, :]
+    dims = jnp.asarray(geom.dims, jnp.int32)
+    in_view = jnp.all((loc >= 0) & (loc < dims), axis=-1)  # (N, 27)
+    loc = jnp.clip(loc, 0, dims - 1)
+    flat = (loc[..., 0] * gy + loc[..., 1]) * gz + loc[..., 2]
+    m = in_view.astype(dtype)
+    return flat, W * m, gW * m[..., None], dpos
 
 
 def _apic_bwd_jnp(
@@ -265,6 +301,7 @@ def _apic_bwd_jnp(
     A: jnp.ndarray,
     du: Optional[jnp.ndarray],
     df: jnp.ndarray,
+    geom: Optional[GridGeom] = None,
 ):
     """Tap-space cotangent formulas via 27-tap gathers (CPU/fallback
     path; on TPU the blocked Pallas gather kernel computes the same).
@@ -278,7 +315,7 @@ def _apic_bwd_jnp(
     treated as piecewise constant (matching AD of the scatter path).
     """
     prec = jax.lax.Precision.HIGHEST
-    flat, W, gW, dpos = _tap_geometry(constants, x)
+    flat, W, gW, dpos = _tap_geometry(constants, x, geom)
     r = df[flat]  # (N, 27, 3)
 
     db = jnp.einsum("no,noi->ni", W, r, precision=prec)
@@ -302,20 +339,21 @@ def _apic_bwd_jnp(
     return dx_w + dx_d, dgm, db, dA
 
 
-def _apic_bwd_impl(constants, x, gm, b, A, du, df, sort=None):
+def _apic_bwd_impl(constants, x, gm, b, A, du, df, sort=None, geom=None):
     """Backward dispatch: blocked Pallas gather kernel on TPU, tap-space
     jnp gathers elsewhere. ``sort`` (a shared ``BlockSort``) skips the
     per-call re-sort on the kernel path."""
-    if jax.default_backend() == "tpu" and constants.num_grids > 24:
+    if jax.default_backend() == "tpu" and max(_geom_dims(constants, geom)) > 24:
         from .p2g_kernel import apic_gather_tpu
 
         dx, dgm, db, dA = apic_gather_tpu(
-            constants, x, gm, b, A, df, du, derivs=True, sort=sort
+            constants, x, gm, b, A, df, du, derivs=True, sort=sort,
+            geom=geom,
         )
         if du is None or gm is None:
             dgm = None
         return dx, dgm, db, dA
-    return _apic_bwd_jnp(constants, x, gm, b, A, du, df)
+    return _apic_bwd_jnp(constants, x, gm, b, A, du, df, geom)
 
 
 def _dual_bwd_enabled() -> bool:
@@ -330,7 +368,7 @@ def _dual_bwd_enabled() -> bool:
 
 
 def _apic_bwd_dual_impl(
-    constants, x, gm, b, A, du, df, b2, A2, gv, sort=None
+    constants, x, gm, b, A, du, df, b2, A2, gv, sort=None, geom=None
 ):
     """Two independent tap-gather adjoints of one step, fused into a
     single kernel pass on TPU (shared one-hot factor build): problem 1
@@ -338,7 +376,7 @@ def _apic_bwd_dual_impl(
     Returns (dx1, dgm, db, dA, dx2)."""
     if (
         jax.default_backend() == "tpu"
-        and constants.num_grids > 24
+        and max(_geom_dims(constants, geom)) > 24
         and _dual_bwd_enabled()
     ):
         import os
@@ -348,14 +386,16 @@ def _apic_bwd_dual_impl(
         chunk = int(os.environ.get("NEUMA_DUAL_CHUNK", GATHER_CHUNK))
         dx1, dgm, db, dA, dx2 = apic_dual_gather_tpu(
             constants, x, gm, b, A, df, du, b2, A2, gv,
-            sort=sort, chunk=chunk,
+            sort=sort, chunk=chunk, geom=geom,
         )
         if du is None or gm is None:
             dgm = None
         return dx1, dgm, db, dA, dx2
-    dx1, dgm, db, dA = _apic_bwd_impl(constants, x, gm, b, A, du, df, sort)
+    dx1, dgm, db, dA = _apic_bwd_impl(
+        constants, x, gm, b, A, du, df, sort, geom
+    )
     dx2, _, _, _ = _apic_bwd_impl(
-        constants, x, None, b2, A2, None, gv, sort
+        constants, x, None, b2, A2, None, gv, sort, geom
     )
     return dx1, dgm, db, dA, dx2
 
@@ -370,11 +410,13 @@ def _dense_forward(
     gm: Optional[jnp.ndarray],
     b: jnp.ndarray,
     A: jnp.ndarray,
+    geom: Optional[GridGeom] = None,
 ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:
     """Single-region separable scatter (used when the grid is small
     enough that blocking does not pay)."""
-    flat, W, _, dpos = _tap_geometry(constants, x)
-    g3 = constants.num_grids ** 3
+    flat, W, _, dpos = _tap_geometry(constants, x, geom)
+    dims = _geom_dims(constants, geom)
+    g3 = dims[0] * dims[1] * dims[2]
     f_tap = W[..., None] * (
         b[:, None, :] + jnp.einsum("nij,noj->noi", A, dpos)
     )
@@ -388,16 +430,21 @@ def _dense_forward(
     return grid_m, grid_f
 
 
-def _forward_dispatch(constants, x, gm, b, A, method: str, sort=None):
+def _forward_dispatch(constants, x, gm, b, A, method: str, sort=None,
+                      geom=None):
     if method == "auto":
-        method = "blocked" if constants.num_grids > 24 else "dense"
+        method = (
+            "blocked" if max(_geom_dims(constants, geom)) > 24 else "dense"
+        )
     if method == "blocked":
         if jax.default_backend() == "tpu":
             from .p2g_kernel import p2g_blocked_pallas
 
-            return p2g_blocked_pallas(constants, x, gm, b, A, sort=sort)
-        return _blocked_forward(constants, x, gm, b, A, sort=sort)
-    return _dense_forward(constants, x, gm, b, A)
+            return p2g_blocked_pallas(
+                constants, x, gm, b, A, sort=sort, geom=geom
+            )
+        return _blocked_forward(constants, x, gm, b, A, sort=sort, geom=geom)
+    return _dense_forward(constants, x, gm, b, A, geom)
 
 
 # --------------------------------------------------------------------------
@@ -412,20 +459,23 @@ def apic_scatter(
     b: jnp.ndarray,
     A: jnp.ndarray,
     sort=None,
+    geom: Optional[GridGeom] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mass + momentum APIC scatter:
         grid_m[c] += W_c(x) * gm
         grid_f[c] += W_c(x) * (b + A @ dpos_c)
-    Returns (grid_m (G^3,), grid_f (G^3, 3)). Forward runs the blocked
-    separable matmul path; backward is the closed-form 27-tap gather.
-    ``sort`` shares one ``BlockSort`` of ``x`` across the whole step.
+    Returns (grid_m (num_cells,), grid_f (num_cells, 3)). Forward runs
+    the blocked separable matmul path; backward is the closed-form
+    27-tap gather. ``sort`` shares one ``BlockSort`` of ``x`` across the
+    whole step; ``geom`` selects a local grid view (the halo-sharded
+    step's per-shard slab; default: the full cube).
     """
-    return _forward_dispatch(constants, x, gm, b, A, "auto", sort)
+    return _forward_dispatch(constants, x, gm, b, A, "auto", sort, geom)
 
 
-def _apic_fwd(constants, x, gm, b, A, sort=None):
-    out = _forward_dispatch(constants, x, gm, b, A, "auto", sort)
-    return out, (constants, x, gm, b, A, sort)
+def _apic_fwd(constants, x, gm, b, A, sort=None, geom=None):
+    out = _forward_dispatch(constants, x, gm, b, A, "auto", sort, geom)
+    return out, (constants, x, gm, b, A, sort, geom)
 
 
 def _zero_like_tree(tree):
@@ -438,9 +488,11 @@ def _zero_like_tree(tree):
 
 
 def _apic_bwd(res, cot):
-    constants, x, gm, b, A, sort = res
+    constants, x, gm, b, A, sort, geom = res
     du, df = cot
-    dx, dgm, db, dA = _apic_bwd_impl(constants, x, gm, b, A, du, df, sort)
+    dx, dgm, db, dA = _apic_bwd_impl(
+        constants, x, gm, b, A, du, df, sort, geom
+    )
     return (
         _zero_like_tree(constants),
         dx,
@@ -448,6 +500,7 @@ def _apic_bwd(res, cot):
         db,
         dA,
         _zero_like_tree(sort),
+        _zero_like_tree(geom),
     )
 
 
@@ -461,24 +514,34 @@ def apic_scatter_f(
     b: jnp.ndarray,
     A: jnp.ndarray,
     sort=None,
+    geom: Optional[GridGeom] = None,
 ) -> jnp.ndarray:
     """Momentum-only APIC scatter (no mass channel):
         grid_f[c] += W_c(x) * (b + A @ dpos_c)
     Used for the G2P grid cotangent (``mpm._g2p_bwd``)."""
-    return _forward_dispatch(constants, x, None, b, A, "auto", sort)[1]
+    return _forward_dispatch(constants, x, None, b, A, "auto", sort, geom)[1]
 
 
-def _apic_f_fwd(constants, x, b, A, sort=None):
+def _apic_f_fwd(constants, x, b, A, sort=None, geom=None):
     return (
-        _forward_dispatch(constants, x, None, b, A, "auto", sort)[1],
-        (constants, x, b, A, sort),
+        _forward_dispatch(constants, x, None, b, A, "auto", sort, geom)[1],
+        (constants, x, b, A, sort, geom),
     )
 
 
 def _apic_f_bwd(res, df):
-    constants, x, b, A, sort = res
-    dx, _, db, dA = _apic_bwd_impl(constants, x, None, b, A, None, df, sort)
-    return _zero_like_tree(constants), dx, db, dA, _zero_like_tree(sort)
+    constants, x, b, A, sort, geom = res
+    dx, _, db, dA = _apic_bwd_impl(
+        constants, x, None, b, A, None, df, sort, geom
+    )
+    return (
+        _zero_like_tree(constants),
+        dx,
+        db,
+        dA,
+        _zero_like_tree(sort),
+        _zero_like_tree(geom),
+    )
 
 
 apic_scatter_f.defvjp(_apic_f_fwd, _apic_f_bwd)

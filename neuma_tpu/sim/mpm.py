@@ -36,7 +36,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.types import GridState, MPMConstants, ParticleState, Statics
+from ..core.types import (
+    GridGeom,
+    GridState,
+    MPMConstants,
+    ParticleState,
+    Statics,
+)
 
 # Static 3x3x3 stencil offsets, shape (27, 3).
 _OFFSETS = np.stack(
@@ -340,10 +346,16 @@ def p2g(
 
 
 def grid_op(
-    constants: MPMConstants, grid_m: jnp.ndarray, grid_mv: jnp.ndarray
+    constants: MPMConstants,
+    grid_m: jnp.ndarray,
+    grid_mv: jnp.ndarray,
+    geom: Optional[GridGeom] = None,
 ) -> jnp.ndarray:
     """Momentum -> velocity + gravity + box boundary (reference
-    mpm.py:373-429). Returns grid velocity (G^3, 3)."""
+    mpm.py:373-429). Returns grid velocity (num_cells, 3). With a
+    ``geom`` view, the box boundary test runs in GLOBAL coordinates
+    (local index + view origin) so per-shard slabs see the same BC as
+    the full cube."""
     g = constants.num_grids
     bound = constants.bound
     dtype = grid_mv.dtype
@@ -355,12 +367,21 @@ def grid_op(
     denom = jnp.where(has_mass, grid_m + constants.eps, 1.0)[:, None]
     v = jnp.where(has_mass[:, None], grid_mv / denom + gv, gv)
 
-    # Cell coordinates.
-    idx = jnp.arange(g ** 3, dtype=jnp.int32)
-    pz = idx % g
-    py = (idx // g) % g
-    px = idx // (g * g)
-    coords = jnp.stack([px, py, pz], axis=-1)  # (G^3, 3)
+    # Cell coordinates (global).
+    if geom is None:
+        dims = (g, g, g)
+        origin = None
+    else:
+        dims = geom.dims
+        origin = geom.origin
+    gx, gy, gz = dims
+    idx = jnp.arange(gx * gy * gz, dtype=jnp.int32)
+    pz = idx % gz
+    py = (idx // gz) % gy
+    px = idx // (gy * gz)
+    coords = jnp.stack([px, py, pz], axis=-1)  # (num_cells, 3)
+    if origin is not None:
+        coords = coords + origin[None, :]
 
     lo = coords < bound  # (G^3, 3) bool per axis
     hi = coords >= (g - bound)
@@ -384,6 +405,7 @@ def g2p_core(
     x: jnp.ndarray,
     grid_v: jnp.ndarray,
     sort=None,
+    geom: Optional[GridGeom] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The two tap-contractions of G2P (reference mpm.py:432-475):
 
@@ -398,23 +420,31 @@ def g2p_core(
     gather kernel's derivative outputs. Everything downstream (F
     update, advection, clamp, enabled freeze) is plain AD.
     """
-    return _g2p_core_fwd_impl(constants, x, grid_v, sort)
+    return _g2p_core_fwd_impl(constants, x, grid_v, sort, geom)
 
 
-def _g2p_core_fwd_impl(constants, x, grid_v, sort=None):
+def _g2p_core_fwd_impl(constants, x, grid_v, sort=None, geom=None):
+    from .blocked import _geom_dims, _tap_geometry
+
     kappa = 4.0 * constants.inv_dx * constants.inv_dx
-    if jax.default_backend() == "tpu" and constants.num_grids > 24:
+    if (
+        jax.default_backend() == "tpu"
+        and max(_geom_dims(constants, geom)) > 24
+    ):
         from .p2g_kernel import apic_gather_tpu
 
         zeros3 = jnp.zeros_like(x)
         zeros33 = jnp.zeros(x.shape + (3,), x.dtype)
         _, _, new_v, dA = apic_gather_tpu(
             constants, x, None, zeros3, zeros33, grid_v, None,
-            derivs=False, sort=sort,
+            derivs=False, sort=sort, geom=geom,
         )
         return new_v, kappa * dA
     prec = jax.lax.Precision.HIGHEST
-    _, weight, dpos, flat_idx = _stencil(constants, x)
+    if geom is None:
+        _, weight, dpos, flat_idx = _stencil(constants, x)
+    else:
+        flat_idx, weight, _, dpos = _tap_geometry(constants, x, geom)
     v_taps = grid_v[flat_idx]  # (N, 27, 3)
     new_v = jnp.einsum("no,noi->ni", weight, v_taps, precision=prec)
     new_C = kappa * jnp.einsum(
@@ -423,23 +453,25 @@ def _g2p_core_fwd_impl(constants, x, grid_v, sort=None):
     return new_v, new_C
 
 
-def _g2p_core_fwd(constants, x, grid_v, sort=None):
-    out = _g2p_core_fwd_impl(constants, x, grid_v, sort)
-    return out, (constants, x, grid_v, sort)
+def _g2p_core_fwd(constants, x, grid_v, sort=None, geom=None):
+    out = _g2p_core_fwd_impl(constants, x, grid_v, sort, geom)
+    return out, (constants, x, grid_v, sort, geom)
 
 
 def _g2p_core_bwd(res, cot):
-    constants, x, grid_v, sort = res
+    constants, x, grid_v, sort, geom = res
     dv, dC = cot
     kappa = 4.0 * constants.inv_dx * constants.inv_dx
     from .blocked import _apic_bwd_impl, _forward_dispatch
 
     A = kappa * dC
-    _, d_grid = _forward_dispatch(constants, x, None, dv, A, "auto", sort)
+    _, d_grid = _forward_dispatch(
+        constants, x, None, dv, A, "auto", sort, geom
+    )
     # Position cotangent: same tap-contraction structure with the
     # grid-velocity slab (b = dv, A = kappa dC).
     d_x, _, _, _ = _apic_bwd_impl(
-        constants, x, None, dv, A, None, grid_v, sort
+        constants, x, None, dv, A, None, grid_v, sort, geom
     )
 
     def zero_cotangent(v):
@@ -449,7 +481,8 @@ def _g2p_core_bwd(res, cot):
 
     d_constants = jax.tree_util.tree_map(zero_cotangent, constants)
     d_sort = jax.tree_util.tree_map(zero_cotangent, sort)
-    return d_constants, d_x, d_grid, d_sort
+    d_geom = jax.tree_util.tree_map(zero_cotangent, geom)
+    return d_constants, d_x, d_grid, d_sort, d_geom
 
 
 g2p_core.defvjp(_g2p_core_fwd, _g2p_core_bwd)
@@ -555,6 +588,7 @@ def mpm_step_diff(
     statics: Statics,
     state: ParticleState,
     stress: jnp.ndarray,
+    sort=None,
 ) -> ParticleState:
     """``mpm_step`` with reference-parity backward semantics:
 
@@ -568,25 +602,31 @@ def mpm_step_diff(
       ``jax.checkpoint``;
     * all outgoing cotangents are NaN/Inf-scrubbed to zero, matching
       ``MPMSimFunction.backward`` (interface.py:65-74).
+
+    ``sort`` may carry pre-built/refreshed ``StepLayouts`` (see
+    ``p2g_kernel.refresh_step_layouts``) so substep scans amortize the
+    block argsort; it is treated as non-differentiable.
     """
-    return mpm_step(constants, statics, state, stress)
+    return mpm_step(constants, statics, state, stress, sort)
 
 
-def _mpm_step_fwd(constants, statics, state, stress):
-    sort = _step_sort(constants, state.x)
+def _mpm_step_fwd(constants, statics, state, stress, sort=None):
+    sort_in = sort  # keep the caller's pytree structure for the bwd
+    if sort is None:
+        sort = _step_sort(constants, state.x)
     grid_m, grid_mv = p2g(constants, statics, state, stress, "auto", sort)
     grid_v = grid_op(constants, grid_m, grid_mv)
     new_v, new_C = g2p_core(constants, state.x, grid_v, sort)
     out = _g2p_tail(constants, statics, state, new_v, new_C)
     return out, (
-        constants, statics, state, stress, sort,
+        constants, statics, state, stress, sort, sort_in,
         grid_m, grid_mv, new_v, new_C,
     )
 
 
 def _mpm_step_bwd(residuals, g):
     (
-        constants, statics, state, stress, sort,
+        constants, statics, state, stress, sort, sort_in,
         grid_m, grid_mv, new_v, new_C,
     ) = residuals
     from .blocked import _apic_bwd_dual_impl, _forward_dispatch
@@ -647,10 +687,37 @@ def _mpm_step_bwd(residuals, g):
 
     d_statics = jax.tree_util.tree_map(zero_cotangent, statics)
     d_constants = jax.tree_util.tree_map(zero_cotangent, constants)
-    return d_constants, d_statics, d_state, d_stress
+    d_sort = jax.tree_util.tree_map(zero_cotangent, sort_in)
+    return d_constants, d_statics, d_state, d_stress, d_sort
 
 
 mpm_step_diff.defvjp(_mpm_step_fwd, _mpm_step_bwd)
+
+
+@jax.custom_vjp
+def scrub_cotangents(tree):
+    """Identity whose backward NaN/Inf-scrubs the cotangent — the
+    standalone form of the reference's per-step ``nan_to_num`` on all
+    sim gradients (``sim/interface.py:65-74``). ``mpm_step_diff`` bakes
+    this into its direct adjoint; composed steps (the halo-sharded step,
+    ``parallel/halo.py``) wrap their differentiable inputs instead."""
+    return tree
+
+
+def _scrub_fwd(tree):
+    return tree, None
+
+
+def _scrub_bwd(_, ct):
+    return (
+        jax.tree_util.tree_map(
+            lambda t: jnp.nan_to_num(t, nan=0.0, posinf=0.0, neginf=0.0),
+            ct,
+        ),
+    )
+
+
+scrub_cotangents.defvjp(_scrub_fwd, _scrub_bwd)
 
 
 def advect_extra(

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.types import MPMConstants
+from ..core.types import GridGeom, MPMConstants
 
 BLOCK = 14
 S = BLOCK + 2  # 16: padded block side; S^2 = 256 lanes, power of two
@@ -83,28 +83,68 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def block_sort(
-    constants: MPMConstants, x: jnp.ndarray, block: int = BLOCK
-) -> BlockSort:
-    """One argsort by flat block id + bucket ranges + stencil geometry."""
+def _sort_geometry(
+    constants: MPMConstants,
+    x: jnp.ndarray,
+    block: int = BLOCK,
+    geom: Optional[GridGeom] = None,
+):
+    """The cheap, elementwise half of :func:`block_sort`: stencil base,
+    fractional position, local tap lines, and flat block id per
+    particle. Re-run every substep by :func:`refresh_step_layouts`;
+    the expensive argsort half only re-runs when a ``bid`` changed."""
     g = constants.num_grids
-    nb = _cdiv(g, block)
-    NB = nb ** 3
-    n = x.shape[0]
+    dims = (g, g, g) if geom is None else geom.dims
+    nbx, nby, nbz = (_cdiv(d, block) for d in dims)
     dtype = x.dtype
 
     p_x = x * constants.inv_dx
     base = jnp.floor(p_x - 0.5).astype(jnp.int32)
     fx = p_x - base.astype(dtype)
 
-    blk = jnp.clip(base, 0, g - 1) // block
-    bid = (blk[:, 0] * nb + blk[:, 1]) * nb + blk[:, 2]
     taps = jnp.clip(
         base[:, :, None] + jnp.arange(3, dtype=jnp.int32)[None, None, :],
         0,
         g - 1,
     )
-    loc = taps - (blk * block)[:, :, None]  # (N, 3, 3) in [0, S)
+    if geom is None:
+        blk = jnp.clip(base, 0, g - 1) // block
+        loc = taps - (blk * block)[:, :, None]  # (N, 3, 3) in [0, S)
+    else:
+        dims_arr = jnp.asarray(dims, jnp.int32)
+        bloc = jnp.clip(
+            jnp.clip(base, 0, g - 1) - geom.origin[None, :],
+            0,
+            dims_arr - 1,
+        )
+        blk = bloc // block
+        tl = taps - geom.origin[None, :, None]
+        loc = tl - (blk * block)[:, :, None]
+        in_view = (
+            (tl >= 0)
+            & (tl < dims_arr[None, :, None])
+            & (loc >= 0)
+            & (loc < block + 2)
+        )
+        loc = jnp.where(in_view, loc, -1)
+    bid = (blk[:, 0] * nby + blk[:, 1]) * nbz + blk[:, 2]
+    return base, fx, loc, bid, nbx * nby * nbz
+
+
+def block_sort(
+    constants: MPMConstants,
+    x: jnp.ndarray,
+    block: int = BLOCK,
+    geom: Optional[GridGeom] = None,
+) -> BlockSort:
+    """One argsort by flat block id + bucket ranges + stencil geometry.
+
+    With a ``geom`` view, block ids and local tap lines are computed in
+    view-local coordinates; taps outside the view get line -1 (the
+    kernels' one-hots never fire for them, so they contribute nothing —
+    they belong to a neighboring shard's view)."""
+    n = x.shape[0]
+    base, fx, loc, bid, NB = _sort_geometry(constants, x, block, geom)
 
     perm = jnp.argsort(bid)
     sbid = bid[perm]
@@ -126,6 +166,7 @@ def build_chunk_layout(
     block: int = BLOCK,
     chunk: int = CHUNK,
     sort: Optional[BlockSort] = None,
+    geom: Optional[GridGeom] = None,
 ) -> Tuple[ChunkLayout, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Carve the block-sorted order into C-sized padded chunks.
 
@@ -134,15 +175,17 @@ def build_chunk_layout(
     ``sort`` (from :func:`block_sort`) is rebuilt when not supplied.
     """
     g = constants.num_grids
-    nb = _cdiv(g, block)
-    NB = nb ** 3
+    dims = (g, g, g) if geom is None else geom.dims
+    NB = 1
+    for d in dims:
+        NB *= _cdiv(d, block)
     n = x.shape[0]
     C = chunk
     M = _cdiv(n, C) + NB
     dtype = x.dtype
 
     if sort is None:
-        sort = block_sort(constants, x, block)
+        sort = block_sort(constants, x, block, geom=geom)
     perm, bstart, counts, bid = sort.perm, sort.bstart, sort.counts, sort.bid
 
     nchunk = (counts + C - 1) // C
@@ -180,19 +223,69 @@ class StepLayouts(NamedTuple):
     gather: ChunkLayout   # chunk == GATHER_CHUNK
 
 
-def build_step_layouts(constants: MPMConstants, x: jnp.ndarray) -> StepLayouts:
-    sort = block_sort(constants, x)
-    scatter, _, _, _ = build_chunk_layout(constants, x, chunk=CHUNK, sort=sort)
+def build_step_layouts(
+    constants: MPMConstants,
+    x: jnp.ndarray,
+    geom: Optional[GridGeom] = None,
+) -> StepLayouts:
+    sort = block_sort(constants, x, geom=geom)
+    scatter, _, _, _ = build_chunk_layout(
+        constants, x, chunk=CHUNK, sort=sort, geom=geom
+    )
     gather, _, _, _ = build_chunk_layout(
-        constants, x, chunk=GATHER_CHUNK, sort=sort
+        constants, x, chunk=GATHER_CHUNK, sort=sort, geom=geom
     )
     return StepLayouts(sort, scatter, gather)
 
 
+def refresh_step_layouts(
+    constants: MPMConstants,
+    x: jnp.ndarray,
+    stale: StepLayouts,
+    geom: Optional[GridGeom] = None,
+) -> Tuple[StepLayouts, jnp.ndarray]:
+    """Amortize the per-step block sort across a substep scan.
+
+    CFL keeps particle motion well under one cell per substep, so a
+    particle's flat block id (blocks are ``BLOCK`` = 14 cells wide)
+    rarely changes between substeps — but the tap window has zero
+    slack (a 3-tap stencil in an S=16 slab over a 14-cell core), so a
+    stale sort is valid EXACTLY when every bid is unchanged. This
+    recomputes the cheap elementwise geometry (base/fx/loc/bid) from
+    the fresh positions, and only when some bid moved does ``lax.cond``
+    take the full rebuild branch (argsort + searchsorteds + both chunk
+    carvings).
+
+    Returns ``(layouts, reused)`` — carry ``layouts`` through the scan;
+    ``reused`` is a () bool (False on the substeps that re-sorted), for
+    telemetry only. Gradients: callers pass the result into custom-VJP
+    primitives whose sort cotangent is zeroed, and the geometry is
+    recomputed from ``stop_gradient(x)``, so no AD path leaks through
+    the layout refresh.
+    """
+    xs = jax.lax.stop_gradient(x)
+    base, fx, loc, bid, _ = _sort_geometry(constants, xs, BLOCK, geom)
+    reused = jnp.all(bid == stale.sort.bid)
+
+    def reuse(_):
+        return StepLayouts(
+            stale.sort._replace(base=base, fx=fx, loc=loc),
+            stale.scatter,
+            stale.gather,
+        )
+
+    def rebuild(_):
+        return build_step_layouts(constants, xs, geom)
+
+    return jax.lax.cond(reused, reuse, rebuild, None), reused
+
+
 def _resolve_layout(
-    constants: MPMConstants, x: jnp.ndarray, chunk: int, shared
+    constants: MPMConstants, x: jnp.ndarray, chunk: int, shared, geom=None
 ) -> Tuple[ChunkLayout, BlockSort]:
-    """shared may be None, a BlockSort, or a StepLayouts."""
+    """shared may be None, a BlockSort, or a StepLayouts. Callers
+    passing a shared sort/layout must have built it with the SAME
+    ``geom`` (the per-step layouts are view-local)."""
     if isinstance(shared, StepLayouts):
         if chunk == CHUNK:
             return shared.scatter, shared.sort
@@ -200,9 +293,9 @@ def _resolve_layout(
             return shared.gather, shared.sort
         shared = shared.sort
     if shared is None:
-        shared = block_sort(constants, x)
+        shared = block_sort(constants, x, geom=geom)
     layout, _, _, _ = build_chunk_layout(
-        constants, x, chunk=chunk, sort=shared
+        constants, x, chunk=chunk, sort=shared, geom=geom
     )
     return layout, shared
 
@@ -330,16 +423,18 @@ def run_p2g_fwd(payload: jnp.ndarray, M: int, interpret: bool = False):
     )(payload)
 
 
-def _fold(partials: jnp.ndarray, c2b: jnp.ndarray, g: int, nb: int):
-    """(M, 4, S, S^2) partial chunks -> (g^3, 4) grid via per-block
-    accumulation + static halo fold (see blocked._fold_blocks)."""
+def _fold(partials: jnp.ndarray, c2b: jnp.ndarray, dims, nbs):
+    """(M, 4, S, S^2) partial chunks -> (num_cells, 4) grid via
+    per-block accumulation + static halo fold (see
+    blocked._fold_blocks)."""
     from .blocked import _fold_blocks
 
-    M = partials.shape[0]
-    NB = nb ** 3
+    NB = nbs[0] * nbs[1] * nbs[2]
     pb = jnp.zeros((NB, 4, S, S * S), partials.dtype).at[c2b].add(partials)
     pb = pb.reshape(NB, 4, S, S, S).transpose(0, 2, 3, 4, 1)
-    return _fold_blocks(pb, g, nb, BLOCK).reshape(g ** 3, 4)
+    return _fold_blocks(pb, dims, nbs, BLOCK).reshape(
+        dims[0] * dims[1] * dims[2], 4
+    )
 
 
 def p2g_blocked_pallas(
@@ -350,17 +445,20 @@ def p2g_blocked_pallas(
     A: jnp.ndarray,
     interpret: bool = False,
     sort: Optional[BlockSort] = None,
+    geom: Optional[GridGeom] = None,
 ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:
     """Pallas-fused blocked APIC scatter. Same contract as
     ``blocked._blocked_forward``. ``sort`` may be a BlockSort or a
-    pre-carved StepLayouts."""
-    layout, bsort = _resolve_layout(constants, x, CHUNK, sort)
+    pre-carved StepLayouts (built with the same ``geom``)."""
+    g = constants.num_grids
+    dims = (g, g, g) if geom is None else geom.dims
+    layout, bsort = _resolve_layout(constants, x, CHUNK, sort, geom)
     payload = pack_payload(
         constants, layout, bsort.fx, bsort.loc, gm, b, A
     )
     partials = run_p2g_fwd(payload, layout.c2b.shape[0], interpret=interpret)
-    nb = _cdiv(constants.num_grids, BLOCK)
-    grid = _fold(partials, layout.c2b, constants.num_grids, nb)
+    nbs = tuple(_cdiv(d, BLOCK) for d in dims)
+    grid = _fold(partials, layout.c2b, dims, nbs)
     grid_f = grid[:, :3]
     grid_m = grid[:, 3] if gm is not None else None
     return grid_m, grid_f
@@ -671,26 +769,31 @@ def _unfold_axis(x: jnp.ndarray, nb: int) -> jnp.ndarray:
 
 
 def unfold_blocks(
-    grid_ch: jnp.ndarray, g: int, nb: int, ch_out: int = 4
+    grid_ch: jnp.ndarray, dims, nbs, ch_out: int = 4
 ) -> jnp.ndarray:
-    """(g^3, ch) grid -> per-block (nb^3, ch_out, S, S, S) slabs (the
-    inverse of ``blocked._fold_blocks``): slab[b] covers grid lines
-    ``[b*BLOCK, b*BLOCK + S)`` per axis, zero-padded past the boundary.
-    Pure reshape/pad axis unfolds."""
+    """(num_cells, ch) grid view -> per-block (NB, ch_out, S, S, S)
+    slabs (the inverse of ``blocked._fold_blocks``): slab[b] covers grid
+    lines ``[b*BLOCK, b*BLOCK + S)`` per axis, zero-padded past the
+    boundary. Pure reshape/pad axis unfolds. ``dims``/``nbs`` are the
+    per-axis view extents and block counts (x-major flat block order)."""
+    gx, gy, gz = dims
+    nbx, nby, nbz = nbs
     ch = grid_ch.shape[1]
-    gp = nb * BLOCK + 2
-    arr = jnp.moveaxis(grid_ch.reshape(g, g, g, ch), -1, 0)
+    gpx, gpy, gpz = (n * BLOCK + 2 for n in nbs)
+    arr = jnp.moveaxis(grid_ch.reshape(gx, gy, gz, ch), -1, 0)
     if ch < ch_out:
         arr = jnp.pad(arr, ((0, ch_out - ch), (0, 0), (0, 0), (0, 0)))
-    arr = jnp.pad(arr, ((0, 0),) + ((0, gp - g),) * 3)  # (ch, gp, gp, gp)
-    t = _unfold_axis(arr[..., None], nb)  # (ch, gp, gp, nbz, Sz, 1)
-    t = t.reshape(ch_out, gp, gp, nb * S)
-    t = _unfold_axis(t, nb)  # (ch, gp, nby, Sy, nbz*Sz)
-    t = t.reshape(ch_out, gp, nb * S * nb * S)
-    t = _unfold_axis(t, nb)  # (ch, nbx, Sx, nby*Sy*nbz*Sz)
-    t = t.reshape(ch_out, nb, S, nb, S, nb, S)
+    arr = jnp.pad(
+        arr, ((0, 0), (0, gpx - gx), (0, gpy - gy), (0, gpz - gz))
+    )  # (ch, gpx, gpy, gpz)
+    t = _unfold_axis(arr[..., None], nbz)  # (ch, gpx, gpy, nbz, Sz, 1)
+    t = t.reshape(ch_out, gpx, gpy, nbz * S)
+    t = _unfold_axis(t, nby)  # (ch, gpx, nby, Sy, nbz*Sz)
+    t = t.reshape(ch_out, gpx, nby * S * nbz * S)
+    t = _unfold_axis(t, nbx)  # (ch, nbx, Sx, nby*Sy*nbz*Sz)
+    t = t.reshape(ch_out, nbx, S, nby, S, nbz, S)
     t = t.transpose(1, 3, 5, 0, 2, 4, 6)
-    return t.reshape(nb ** 3, ch_out, S, S, S)
+    return t.reshape(nbx * nby * nbz, ch_out, S, S, S)
 
 
 def run_apic_gather(
@@ -748,19 +851,21 @@ def apic_gather_tpu(
     derivs: bool = True,
     interpret: bool = False,
     sort: Optional[BlockSort] = None,
+    geom: Optional[GridGeom] = None,
 ):
     """Blocked tap-gather: returns per-particle (dx (N,3), dgm (N,),
     db (N,3), dA (N,3,3)) against slab channels (df, du). ``sort`` may
-    be a BlockSort or a pre-carved StepLayouts."""
+    be a BlockSort or a pre-carved StepLayouts (same ``geom``)."""
     n = x.shape[0]
     g = constants.num_grids
-    layout, bsort = _resolve_layout(constants, x, GATHER_CHUNK, sort)
+    dims = (g, g, g) if geom is None else geom.dims
+    layout, bsort = _resolve_layout(constants, x, GATHER_CHUNK, sort, geom)
     payload = pack_payload(
         constants, layout, bsort.fx, bsort.loc, gm, b, A
     )
     grid_ch = df if du is None else jnp.concatenate([df, du[:, None]], axis=1)
-    nb = _cdiv(g, BLOCK)
-    slabs = unfold_blocks(grid_ch, g, nb)
+    nbs = tuple(_cdiv(d, BLOCK) for d in dims)
+    slabs = unfold_blocks(grid_ch, dims, nbs)
     out = run_apic_gather(
         payload,
         slabs,
@@ -855,6 +960,7 @@ def apic_dual_gather_tpu(
     interpret: bool = False,
     sort: Optional[BlockSort] = None,
     chunk: int = GATHER_CHUNK,
+    geom: Optional[GridGeom] = None,
 ):
     """Fused backward tap-gathers for one MPM step: problem 1 is the
     p2g scatter adjoint (payload gm/b/A vs slab (df, du)), problem 2 is
@@ -864,20 +970,22 @@ def apic_dual_gather_tpu(
     lowered (e.g. 128) to halve the kernel's live VMEM."""
     n = x.shape[0]
     g = constants.num_grids
-    layout, bsort = _resolve_layout(constants, x, chunk, sort)
+    dims = (g, g, g) if geom is None else geom.dims
+    g3 = dims[0] * dims[1] * dims[2]
+    layout, bsort = _resolve_layout(constants, x, chunk, sort, geom)
     payload = pack_payload(
         constants, layout, bsort.fx, bsort.loc, gm, b, A
     )
     payload2 = pack_payload2(constants, layout, bsort.fx, b2, A2)
     du_col = (
         du[:, None] if du is not None
-        else jnp.zeros((g ** 3, 1), x.dtype)
+        else jnp.zeros((g3, 1), x.dtype)
     )
     grid_ch = jnp.concatenate(
-        [df, du_col, gv, jnp.zeros((g ** 3, 1), x.dtype)], axis=1
+        [df, du_col, gv, jnp.zeros((g3, 1), x.dtype)], axis=1
     )
-    nb = _cdiv(g, BLOCK)
-    slabs = unfold_blocks(grid_ch, g, nb, ch_out=8)
+    nbs = tuple(_cdiv(d, BLOCK) for d in dims)
+    slabs = unfold_blocks(grid_ch, dims, nbs, ch_out=8)
     out = run_apic_gather_dual(
         payload,
         payload2,

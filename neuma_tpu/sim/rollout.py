@@ -36,9 +36,11 @@ def make_step_fn(
     """Returns step(params_e, params_p, state) -> state."""
     step_impl = mpm_step_diff if diff else mpm_step
 
-    def step(params_e, params_p, state: ParticleState) -> ParticleState:
+    def step(
+        params_e, params_p, state: ParticleState, sort=None
+    ) -> ParticleState:
         stress = elasticity_apply(params_e, state.F)
-        state = step_impl(constants, statics, state, stress)
+        state = step_impl(constants, statics, state, stress, sort)
         F = plasticity_apply(params_p, state.F)
         return dataclasses.replace(state, F=F)
 
@@ -53,23 +55,45 @@ def rollout(
     num_steps: int,
     substeps: int = 1,
     remat: bool = True,
+    constants: Optional[MPMConstants] = None,
 ) -> Tuple[ParticleState, ParticleState]:
     """Run ``num_steps`` frames of ``substeps`` sim steps each.
 
     Returns (final_state, per-frame stacked states (num_steps, ...)).
     With ``remat`` the inner substep scan is checkpointed so backward
     memory is O(frames + substeps) states instead of O(frames*substeps).
+
+    With ``constants`` (blocked-path grids, ``num_grids > 24``) the
+    block sort is carried across the WHOLE rollout and refreshed per
+    substep (rebuilt only when a particle crossed a block boundary) —
+    see ``p2g_kernel.refresh_step_layouts``.
     """
+    amortize = constants is not None and constants.num_grids > 24
+    if amortize:
+        from .p2g_kernel import build_step_layouts, refresh_step_layouts
 
-    def frame_body(state, _):
-        def sub_body(s, _):
-            return step(params_e, params_p, s), None
+        layouts0 = build_step_layouts(constants, state0.x)
+    else:
+        layouts0 = None
 
-        state, _ = jax.lax.scan(sub_body, state, None, length=substeps)
-        return state, state
+    def frame_body(carry, _):
+        state, layouts = carry
+
+        def sub_body(c, _):
+            s, ly = c
+            if ly is not None:
+                ly, _ = refresh_step_layouts(constants, s.x, ly)
+            return (step(params_e, params_p, s, ly), ly), None
+
+        (state, layouts), _ = jax.lax.scan(
+            sub_body, (state, layouts), None, length=substeps
+        )
+        return (state, layouts), state
 
     body = jax.checkpoint(frame_body) if remat else frame_body
-    final, traj = jax.lax.scan(body, state0, None, length=num_steps)
+    (final, _), traj = jax.lax.scan(
+        body, (state0, layouts0), None, length=num_steps
+    )
     return final, traj
 
 

@@ -74,6 +74,16 @@ class GroundingScene:
     mesh: Optional[object] = None
     particle_axis: Optional[str] = None
     view_axis: Optional[str] = None
+    # Grid distribution strategy for the sharded sim step:
+    # * 'replicated' — the grid is replicated; GSPMD all-reduces the
+    #   per-shard partial grids every step (fine for small grids).
+    # * 'halo' — slab-decomposed grid with ppermute halo exchange
+    #   (parallel/halo.py): O(G^2) traffic instead of O(G^3), the
+    #   blocked production kernels run per shard. Requires ``mesh``.
+    grid_mode: str = "replicated"
+    # Static per-shard particle-bin capacity for halo mode (None = N,
+    # always safe; lower it when the scene provably spreads over slabs).
+    halo_capacity: Optional[int] = None
 
     @property
     def num_frames(self) -> int:
@@ -188,27 +198,72 @@ def make_rollout_loss(scene: GroundingScene) -> Callable:
                 jnp.any(jnp.stack([p[1] for p in pairs])),
             )
 
+    if scene.grid_mode == "halo":
+        if scene.mesh is None:
+            raise ValueError("grid_mode='halo' requires scene.mesh")
+        from ..parallel.halo import make_halo_mpm_step
+
+        halo_step = make_halo_mpm_step(
+            constants,
+            statics,
+            scene.mesh,
+            scene.particle_axis or "dp",
+            scene.halo_capacity,
+        )
+    elif scene.grid_mode != "replicated":
+        raise ValueError(f"unknown grid_mode: {scene.grid_mode!r}")
+
+    # Blocked path: ONE block sort for the whole rollout, refreshed
+    # (and conditionally rebuilt only when a particle crossed a block
+    # boundary) each substep — the argsort was the dominant fixed cost
+    # at small/medium N (BENCHMARKS.md scaling table).
+    amortize_sort = (
+        scene.grid_mode == "replicated" and constants.num_grids > 24
+    )
+    if amortize_sort:
+        from ..sim.p2g_kernel import (
+            build_step_layouts,
+            refresh_step_layouts,
+        )
+
     def loss_fn(params_e, params_p, init_v, frame_weights):
         v0 = jnp.broadcast_to(
             jnp.reshape(init_v, (-1, 3)), (n_particles, 3)
         )
         state = ParticleState.initial(scene.init_x, v0)
         de_x0 = denormalize_points(scene.init_x, scene.size, scene.center)
-        carry = (state, de_x0, k_xyz0)
+        layouts0 = (
+            build_step_layouts(constants, scene.init_x)
+            if amortize_sort
+            else None
+        )
+        carry = (state, layouts0, de_x0, k_xyz0)
 
         def frame_body(carry, inputs):
             gt_frame, weight, is_excluded = inputs
-            state, de_x_prev, g_prev = carry
+            state, layouts, de_x_prev, g_prev = carry
 
-            def sub(s, _):
+            def sub(c, _):
+                s, layouts = c
                 stress = scene.elasticity.apply(params_e, s.F)
-                s = mpm_step_diff(constants, statics, s, stress)
+                if scene.grid_mode == "halo":
+                    s, h_ovf = halo_step(s, stress)
+                else:
+                    if layouts is not None:
+                        layouts, _ = refresh_step_layouts(
+                            constants, s.x, layouts
+                        )
+                    s = mpm_step_diff(
+                        constants, statics, s, stress, layouts
+                    )
+                    h_ovf = jnp.bool_(False)
                 F = scene.plasticity.apply(params_p, s.F)
-                return dataclasses.replace(s, F=F), None
+                return (dataclasses.replace(s, F=F), layouts), h_ovf
 
-            state, _ = jax.lax.scan(
-                sub, state, None, length=scene.substeps
+            (state, layouts), h_ovfs = jax.lax.scan(
+                sub, (state, layouts), None, length=scene.substeps
             )
+            halo_overflow = jnp.any(h_ovfs)
             state = constrain_particles(state)
 
             de_x = denormalize_points(state.x, scene.size, scene.center)
@@ -229,8 +284,8 @@ def make_rollout_loss(scene: GroundingScene) -> Callable:
                 keep * means3d + is_excluded * g_prev
             )
             return (
-                (state, new_prev_x, new_prev_g),
-                (weight * keep * frame_loss, overflow),
+                (state, layouts, new_prev_x, new_prev_g),
+                (weight * keep * frame_loss, overflow, halo_overflow),
             )
 
         # Per-frame remat, but SAVE the rasterizer's integer pair layout
@@ -238,14 +293,38 @@ def make_rollout_loss(scene: GroundingScene) -> Callable:
         policy = jax.checkpoint_policies.save_only_these_names(
             "raster_pairs"
         )
-        (state, _, _), (frame_losses, overflows) = jax.lax.scan(
-            jax.checkpoint(frame_body, policy=policy),
-            carry,
-            (scene.gt_images, frame_weights, excluded),
+        (state, _, _, _), (frame_losses, overflows, halo_ovfs) = (
+            jax.lax.scan(
+                jax.checkpoint(frame_body, policy=policy),
+                carry,
+                (scene.gt_images, frame_weights, excluded),
+            )
         )
-        return jnp.sum(frame_losses), jnp.any(overflows)
+        return jnp.sum(frame_losses), {
+            "overflow": jnp.any(overflows),
+            "halo_overflow": jnp.any(halo_ovfs),
+        }
 
     return loss_fn
+
+
+def _raise_on_overflow(aux: dict, where: str) -> None:
+    """Fail-loudly contract for the rollout loss aux: any fired budget
+    flag means the just-taken gradient step was wrong (pairs or particle
+    mass were dropped device-side)."""
+    if bool(aux["overflow"]):
+        raise PairBudgetOverflowError(
+            f"raster pair budget exceeded at {where}: raise "
+            f"raster.max_pairs/max_per_tile (pairs were dropped — the "
+            f"rendered image and its gradients are wrong)"
+        )
+    if bool(aux["halo_overflow"]):
+        raise HaloOverflowError(
+            f"halo shard budget exceeded at {where}: a shard bin "
+            f"overflowed or a particle's stencil escaped its slab view "
+            f"(raise halo_capacity or shard count — particle mass was "
+            f"dropped, so the state and its gradients are wrong)"
+        )
 
 
 def rollout_decay_weights(
@@ -308,7 +387,7 @@ def optimize_init_velocity(
     @jax.jit
     def epoch_step(init_v, opt_state, reg_weight):
         def total_loss(iv):
-            loss_rgb, overflow = loss_fn(params_e, params_p, iv, weights)
+            loss_rgb, aux = loss_fn(params_e, params_p, iv, weights)
             if reg_all:
                 reg = jnp.mean(jnp.abs(iv))
             else:
@@ -317,14 +396,14 @@ def optimize_init_velocity(
                     jnp.mean(jnp.abs(ivr[:, 0]))
                     + jnp.mean(jnp.abs(ivr[:, 2]))
                 ) / 2.0
-            return loss_rgb + reg_weight * reg, (loss_rgb, overflow)
+            return loss_rgb + reg_weight * reg, (loss_rgb, aux)
 
-        (loss, (loss_rgb, overflow)), g = jax.value_and_grad(
+        (loss, (loss_rgb, aux)), g = jax.value_and_grad(
             total_loss, has_aux=True
         )(init_v)
         updates, opt_state = opt.update(g, opt_state, init_v)
         init_v = optax.apply_updates(init_v, updates)
-        return init_v, opt_state, loss, loss_rgb, overflow
+        return init_v, opt_state, loss, loss_rgb, aux
 
     losses = []
     warmup_gate = int(0.1 * num_epochs)
@@ -334,15 +413,10 @@ def optimize_init_velocity(
             if (lambda_reg is not None and epoch > warmup_gate)
             else 0.0
         )
-        init_v, opt_state, loss, loss_rgb, overflow = epoch_step(
+        init_v, opt_state, loss, loss_rgb, aux = epoch_step(
             init_v, opt_state, jnp.float32(reg_w)
         )
-        if bool(overflow):
-            raise PairBudgetOverflowError(
-                f"raster pair budget exceeded at velocity epoch {epoch}: "
-                f"raise raster.max_pairs/max_per_tile (pairs were dropped "
-                f"— the rendered image and its gradients are wrong)"
-            )
+        _raise_on_overflow(aux, f"velocity epoch {epoch}")
         losses.append(float(loss))
         if log_fn:
             log_fn(epoch, float(loss), float(loss_rgb), np.asarray(init_v))
@@ -372,6 +446,14 @@ class PairBudgetOverflowError(RuntimeError):
     budget (``RasterConfig.max_pairs`` / ``max_per_tile``): pairs were
     dropped, so the image — and every gradient flowing through it — is
     wrong. The fix is a larger budget, not a smaller loss."""
+
+
+class HaloOverflowError(RuntimeError):
+    """Raised when the halo-sharded sim step dropped particles: a
+    per-shard bin overflowed its static capacity, or an enabled
+    particle's stencil escaped its shard's slab view. Mass was lost, so
+    the state and all gradients are wrong; raise ``halo_capacity`` (or
+    repartition more often in lazy schedules)."""
 
 
 def finetune_constitutive(
@@ -443,7 +525,7 @@ def finetune_constitutive(
         def total(pe, pp):
             return loss_fn(pe, pp, init_v, weights)
 
-        (loss, overflow), (ge, gp) = jax.value_and_grad(
+        (loss, aux), (ge, gp) = jax.value_and_grad(
             total, argnums=(0, 1), has_aux=True
         )(params_e, params_p)
         ge, e_norm, e_bad = clip_by_global_norm_strict(ge, e_max_norm)
@@ -461,7 +543,7 @@ def finetune_constitutive(
             e_norm,
             p_norm,
             e_bad | p_bad,
-            overflow,
+            aux,
         )
 
     losses, e_norms, p_norms = [], [], []
@@ -476,7 +558,7 @@ def finetune_constitutive(
             e_norm,
             p_norm,
             bad,
-            overflow,
+            aux,
         ) = epoch_step(
             params_e, params_p, e_state, p_state, jnp.float32(decay_rate)
         )
@@ -486,12 +568,7 @@ def finetune_constitutive(
                 f"loss={float(loss):.7f} e_norm={float(e_norm)} "
                 f"p_norm={float(p_norm)}"
             )
-        if bool(overflow):
-            raise PairBudgetOverflowError(
-                f"raster pair budget exceeded at constitutive epoch "
-                f"{epoch}: raise raster.max_pairs/max_per_tile (pairs "
-                f"were dropped — gradients are wrong)"
-            )
+        _raise_on_overflow(aux, f"constitutive epoch {epoch}")
         losses.append(float(loss))
         e_norms.append(float(e_norm))
         p_norms.append(float(p_norm))

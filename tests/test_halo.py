@@ -4,8 +4,13 @@ Validates the shard_map + ppermute slab decomposition
 (``parallel/halo.py``) on the 8-way virtual CPU mesh: the grid exists
 only as per-shard (w+4, G, G) slabs (never fully replicated), yet one
 step matches ``mpm_step`` to float tolerance — including near-wall
-particles where the physical edge clamp interacts with the halo.
+particles where the physical edge clamp interacts with the halo — and
+GRADIENTS through a multi-step rollout match the single-device custom
+VJPs, on both the dense (G=16) and the blocked (G=32, the production
+kernel family) paths.
 """
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -15,12 +20,13 @@ from jax.sharding import Mesh
 
 from neuma_tpu.core.types import MPMConstants, ParticleState, Statics
 from neuma_tpu.parallel.halo import (
+    make_halo_mpm_step,
     make_halo_sim_step,
     partition_particles,
     slab_width,
     unpartition,
 )
-from neuma_tpu.sim.mpm import mpm_step
+from neuma_tpu.sim.mpm import mpm_step, mpm_step_diff
 
 
 def make_scene(rng, n=512, g=16):
@@ -59,10 +65,11 @@ def mesh8():
 
 
 @pytest.mark.parametrize("bc", ["noslip", "freeslip"])
-def test_halo_step_matches_single_device(rng, mesh8, bc):
-    constants, statics, state, stress = make_scene(rng)
-    import dataclasses
-
+@pytest.mark.parametrize("g", [16, 32])
+def test_halo_step_matches_single_device(rng, mesh8, bc, g):
+    """g=16 runs the dense per-shard path, g=32 the blocked kernels
+    (the production family for real-capture grids)."""
+    constants, statics, state, stress = make_scene(rng, g=g)
     constants = dataclasses.replace(constants, bc=bc)
 
     ref = mpm_step(constants, statics, state, stress)
@@ -72,9 +79,8 @@ def test_halo_step_matches_single_device(rng, mesh8, bc):
     part_stress = stress[part.perm]
 
     step = jax.jit(make_halo_sim_step(constants, mesh8))
-    new_part_state = step(part.statics, part.state, part_stress)
-
-    import neuma_tpu.parallel.halo as halo_mod
+    new_part_state, margin_bad = step(part.statics, part.state, part_stress)
+    assert not bool(jnp.any(margin_bad))
 
     out = unpartition(
         dataclasses.replace(part, state=new_part_state),
@@ -87,7 +93,7 @@ def test_halo_step_matches_single_device(rng, mesh8, bc):
             np.asarray(getattr(ref, name)),
             atol=2e-5,
             rtol=1e-4,
-            err_msg=f"halo mismatch in {name} ({bc})",
+            err_msg=f"halo mismatch in {name} ({bc}, g={g})",
         )
 
 
@@ -117,24 +123,94 @@ def test_partition_roundtrip_and_overflow(rng):
     assert bool(tiny.overflow)
 
 
-def test_halo_step_multi_steps_with_repartition(rng, mesh8):
-    """A few steps with per-step repartition track the reference rollout."""
-    import dataclasses
-
-    constants, statics, state, stress = make_scene(rng, n=256)
-    step = jax.jit(make_halo_sim_step(constants, mesh8))
+def test_halo_mpm_step_multi_steps(rng, mesh8):
+    """The trainer-facing wrapper (repartition each step) tracks the
+    reference rollout on the blocked path."""
+    constants, statics, state, stress = make_scene(rng, n=256, g=32)
+    step = jax.jit(make_halo_mpm_step(constants, statics, mesh8))
 
     ref = state
     cur = state
     for _ in range(3):
         ref = mpm_step(constants, statics, ref, stress)
-        part = partition_particles(constants, cur, statics, 8, capacity=128)
-        new_part = step(part.statics, part.state, stress[part.perm])
-        cur = unpartition(
-            dataclasses.replace(part, state=new_part),
-            cur.x.shape[0],
-            cur,
-        )
+        cur, ovf = step(cur, stress)
+        assert not bool(ovf)
     np.testing.assert_allclose(
         np.asarray(cur.x), np.asarray(ref.x), atol=5e-5, rtol=1e-4
     )
+
+
+@pytest.mark.parametrize("g", [16, 32])
+def test_halo_rollout_gradients_match_single_device(rng, mesh8, g):
+    """THE multi-chip training correctness artifact: gradients of a
+    3-step halo rollout (w.r.t. initial velocity AND the per-step
+    stress input) match the single-device ``mpm_step_diff`` rollout.
+    g=32 exercises the blocked scatter/gather custom VJPs per shard."""
+    constants, statics, state, stress = make_scene(rng, n=256, g=g)
+    steps = 3
+
+    def loss_single(v0, stress):
+        st = dataclasses.replace(state, v=v0)
+        for _ in range(steps):
+            st = mpm_step_diff(constants, statics, st, stress)
+        return jnp.sum(st.x**2) + jnp.sum(st.v * st.C[:, 0, 0:1])
+
+    halo_step = make_halo_mpm_step(constants, statics, mesh8)
+
+    def loss_halo(v0, stress):
+        st = dataclasses.replace(state, v=v0)
+        ovf = jnp.bool_(False)
+        for _ in range(steps):
+            st, o = halo_step(st, stress)
+            ovf = ovf | o
+        return (
+            jnp.sum(st.x**2) + jnp.sum(st.v * st.C[:, 0, 0:1]),
+            ovf,
+        )
+
+    l_ref, (gv_ref, gs_ref) = jax.jit(
+        jax.value_and_grad(loss_single, argnums=(0, 1))
+    )(state.v, stress)
+    # jit, like the trainer's epoch_step: shard_map under jit lets
+    # GSPMD reshard the replicated operands to the in_specs.
+    (l_halo, ovf), (gv_halo, gs_halo) = jax.jit(
+        jax.value_and_grad(loss_halo, argnums=(0, 1), has_aux=True)
+    )(state.v, stress)
+
+    assert not bool(ovf)
+    np.testing.assert_allclose(
+        float(l_halo), float(l_ref), rtol=1e-5, err_msg=f"loss (g={g})"
+    )
+    scale_v = np.maximum(np.abs(np.asarray(gv_ref)).max(), 1e-8)
+    np.testing.assert_allclose(
+        np.asarray(gv_halo) / scale_v,
+        np.asarray(gv_ref) / scale_v,
+        atol=2e-4,
+        err_msg=f"d loss / d init_v (g={g})",
+    )
+    scale_s = np.maximum(np.abs(np.asarray(gs_ref)).max(), 1e-8)
+    np.testing.assert_allclose(
+        np.asarray(gs_halo) / scale_s,
+        np.asarray(gs_ref) / scale_s,
+        atol=2e-4,
+        err_msg=f"d loss / d stress (g={g})",
+    )
+
+
+def test_halo_margin_flag_fires_on_foreign_particles(rng, mesh8):
+    """Feeding a shard particles it does not own trips margin_bad (the
+    correctness guard for future lazy-repartition schedules)."""
+    constants, statics, state, stress = make_scene(rng, n=256, g=16)
+    part = partition_particles(constants, state, statics, 8, capacity=64)
+    # Roll the bins by one shard: every shard now holds its neighbor's
+    # particles.
+    rolled = jax.tree_util.tree_map(
+        lambda a: jnp.roll(a, 1, axis=0), part.state
+    )
+    rolled_statics = jax.tree_util.tree_map(
+        lambda a: jnp.roll(a, 1, axis=0), part.statics
+    )
+    stress_b = jnp.roll(stress[part.perm], 1, axis=0)
+    step = jax.jit(make_halo_sim_step(constants, mesh8))
+    _, margin_bad = step(rolled_statics, rolled, stress_b)
+    assert bool(jnp.any(margin_bad))
