@@ -68,6 +68,12 @@ class RasterConfig:
     # 'auto': Pallas kernels on TPU, jnp composite elsewhere.
     # 'jnp' | 'pallas' | 'pallas_interpret' force a backend.
     backend: str = "auto"
+    # Pair binning strategy: 'counting' (two-level counting sort —
+    # short row-local sorts + prefix sums + direct placement, breaking
+    # the O(max_pairs log max_pairs) global-sort floor) or 'sort' (one
+    # packed-key bitonic sort over the full budget). Both produce
+    # identical tile lists.
+    pair_binning: str = "counting"
     # Optional image-tile sharding (jnp backend): a
     # jax.sharding.NamedSharding whose PartitionSpec names the mesh axis
     # to split the tile dimension over — tiles composite independently,
@@ -214,6 +220,85 @@ def _sort_pairs_by_tile(tile_id, gid_c, num_tiles, max_pairs):
     return sorted_tile, sorted_gid
 
 
+PAIR_SEG = 512  # row length for the two-level counting sort
+
+
+def _counting_ok(max_pairs: int) -> bool:
+    """The counting binner packs (tile, lane) row keys, so rows must be
+    a power-of-two length dividing the budget; odd budgets fall back to
+    the global sort."""
+    seg = min(PAIR_SEG, max_pairs)
+    return seg > 0 and (seg & (seg - 1)) == 0 and max_pairs % seg == 0
+
+
+def _pair_slots(tile_id, num_tiles, max_pairs):
+    """Two-level counting sort of the pair list by tile id — the
+    sort-free replacement for :func:`_sort_pairs_by_tile`'s global
+    bitonic sort (its log^2(max_pairs) compare-exchange passes were the
+    pair-build hot spot).
+
+    The budget is cut into ``PAIR_SEG``-length rows. Each row is sorted
+    locally by a packed ``(tile << lane_bits) | lane`` key (short
+    independent bitonic rows — ~(log2 seg)^2 passes instead of
+    (log2 max_pairs)^2), run-length boundaries give every element its
+    depth-stable rank within (row, tile), and a per-(row, tile) count
+    table + exclusive prefix over rows turns that rank into the pair's
+    final slot within its tile. Placement is then one direct scatter by
+    the caller — counts -> prefix sum -> placement, no global sort.
+
+    Returns ``(orig_idx, tile, slot, counts)`` where the first three are
+    (max_pairs,) arrays in row-sorted layout (``orig_idx`` maps back to
+    the original pair), ``slot`` is the depth-order position of the pair
+    within its tile, and ``counts`` is (num_tiles + 1,) per-tile totals
+    (the dummy bin collects invalid pairs).
+    """
+    seg = min(PAIR_SEG, max_pairs)
+    assert max_pairs % seg == 0
+    B = max_pairs // seg
+    bits_l = seg.bit_length() - 1
+    bits_t = max(int(num_tiles).bit_length(), 1)
+    assert bits_t + bits_l <= 32, (
+        f"too many tiles for packed row keys ({bits_t}+{bits_l} bits)"
+    )
+
+    lane = jnp.tile(jnp.arange(seg, dtype=jnp.uint32), B)
+    key = ((tile_id.astype(jnp.uint32) << np.uint32(bits_l)) | lane).reshape(
+        B, seg
+    )
+    (srows,) = jax.lax.sort((key,), dimension=1, num_keys=1)
+    st = (srows >> np.uint32(bits_l)).astype(jnp.int32)  # tile per element
+    sl = (srows & np.uint32(seg - 1)).astype(jnp.int32)  # original lane
+
+    qpos = jnp.broadcast_to(jnp.arange(seg, dtype=jnp.int32)[None, :],
+                            (B, seg))
+    is_start = jnp.concatenate(
+        [jnp.ones((B, 1), bool), st[:, 1:] != st[:, :-1]], axis=1
+    )
+    run_start = jax.lax.cummax(jnp.where(is_start, qpos, -1), axis=1)
+    rank = qpos - run_start  # (B, seg) rank within (row, tile)
+
+    # Per-(row, tile) counts: one add per run END (tiles are contiguous
+    # within a sorted row, so (row, tile) indices are unique; masked
+    # non-ends add zero in place).
+    is_end = jnp.concatenate(
+        [st[:, :-1] != st[:, 1:], jnp.ones((B, 1), bool)], axis=1
+    )
+    rows_idx = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], (B, seg)
+    )
+    cnt = (
+        jnp.zeros((B, num_tiles + 1), jnp.int32)
+        .at[rows_idx, st]
+        .add(jnp.where(is_end, rank + 1, 0))
+    )
+    base = jnp.cumsum(cnt, axis=0) - cnt  # exclusive over rows
+    counts = cnt.sum(axis=0)  # (num_tiles + 1,)
+
+    slot = base[rows_idx, st] + rank
+    orig_idx = (rows_idx * seg + sl).reshape(-1)
+    return orig_idx, st.reshape(-1), slot.reshape(-1), counts
+
+
 def _pair_attributes(order, x0s, y0s, w_t, starts, offsets, cfg,
                      tiles_x, tiles_y):
     """Per-pair (tile_id inputs, original gaussian id, run start) via
@@ -334,21 +419,40 @@ def _build_tile_lists(
         pair_idx, x0p, y0p, twp, pair_start, valid_pair, tiles_x, num_tiles
     )
 
-    sorted_tile, sorted_gid = _sort_pairs_by_tile(
-        tile_id, pair_orig, num_tiles, cfg.max_pairs
-    )
+    if cfg.pair_binning == "counting" and _counting_ok(cfg.max_pairs):
+        # counts -> prefix -> direct placement: scatter each pair's
+        # gaussian id straight to its (tile, depth-slot) matrix cell.
+        orig, st, slot, counts_d = _pair_slots(
+            tile_id, num_tiles, cfg.max_pairs
+        )
+        counts = counts_d[:num_tiles]
+        gid = pair_orig[orig]
+        dest = jnp.where(
+            (st < num_tiles) & (slot < cfg.max_per_tile),
+            st * cfg.max_per_tile + slot,
+            num_tiles * cfg.max_per_tile,  # dropped
+        )
+        tile_mat = (
+            jnp.full((num_tiles * cfg.max_per_tile,), -1, jnp.int32)
+            .at[dest]
+            .set(gid, mode="drop")
+            .reshape(num_tiles, cfg.max_per_tile)
+        )
+    else:
+        sorted_tile, sorted_gid = _sort_pairs_by_tile(
+            tile_id, pair_orig, num_tiles, cfg.max_pairs
+        )
 
-    # Per-tile ranges; the sorted pair array IS the concatenation of
-    # per-tile depth-ordered lists, so the padded matrix is a pure GATHER
-    # tile_mat[t, s] = sorted_gid[tile_start[t] + s] (gathers are fast on
-    # TPU where scatters are not).
-    tile_start = _tile_starts(sorted_tile, pair_idx, num_tiles)
-    counts = tile_start[1:] - tile_start[:-1]  # (num_tiles,)
-    slots = jnp.arange(cfg.max_per_tile, dtype=jnp.int32)
-    pos = tile_start[:-1, None] + slots[None, :]
-    in_range = slots[None, :] < counts[:, None]
-    gid_mat = sorted_gid[jnp.clip(pos, 0, cfg.max_pairs - 1)]
-    tile_mat = jnp.where(in_range, gid_mat, -1)
+        # Per-tile ranges; the sorted pair array IS the concatenation of
+        # per-tile depth-ordered lists, so the padded matrix is a pure
+        # GATHER tile_mat[t, s] = sorted_gid[tile_start[t] + s].
+        tile_start = _tile_starts(sorted_tile, pair_idx, num_tiles)
+        counts = tile_start[1:] - tile_start[:-1]  # (num_tiles,)
+        slots = jnp.arange(cfg.max_per_tile, dtype=jnp.int32)
+        pos = tile_start[:-1, None] + slots[None, :]
+        in_range = slots[None, :] < counts[:, None]
+        gid_mat = sorted_gid[jnp.clip(pos, 0, cfg.max_pairs - 1)]
+        tile_mat = jnp.where(in_range, gid_mat, -1)
     overflow = (offsets[-1] > cfg.max_pairs) | jnp.any(
         counts > cfg.max_per_tile
     )
@@ -400,12 +504,20 @@ def _build_aligned_pairs(
         pair_idx, x0p, y0p, twp, pair_start, valid_pair, tiles_x, num_tiles
     )
 
-    sorted_tile, sorted_gid = _sort_pairs_by_tile(
-        tile_id, pair_orig, num_tiles, cfg.max_pairs
+    counting = cfg.pair_binning == "counting" and _counting_ok(
+        cfg.max_pairs
     )
-
-    raw_start = _tile_starts(sorted_tile, pair_idx, num_tiles)
-    counts = raw_start[1:] - raw_start[:-1]
+    if counting:
+        orig, st, slot, counts_d = _pair_slots(
+            tile_id, num_tiles, cfg.max_pairs
+        )
+        counts = counts_d[:num_tiles]
+    else:
+        sorted_tile, sorted_gid = _sort_pairs_by_tile(
+            tile_id, pair_orig, num_tiles, cfg.max_pairs
+        )
+        raw_start = _tile_starts(sorted_tile, pair_idx, num_tiles)
+        counts = raw_start[1:] - raw_start[:-1]
 
     # CHUNK-align each tile range.
     aligned = ((counts + CHUNK - 1) // CHUNK) * CHUNK
@@ -431,7 +543,6 @@ def _build_aligned_pairs(
     # Per-block scalars (small gathers over num_blocks rows).
     tstart_b = tile_start[tile_of_block][:, None]
     counts_b = counts[tile_of_block][:, None]
-    rawstart_b = raw_start[tile_of_block][:, None]
     pos_mat = (
         jnp.arange(num_blocks, dtype=jnp.int32)[:, None] * CHUNK
         + jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
@@ -440,11 +551,26 @@ def _build_aligned_pairs(
     in_tile = (
         (slot_mat >= 0) & (slot_mat < counts_b) & (pos_mat < tile_start[-1])
     )
-    src = jnp.clip(rawstart_b + slot_mat, 0, cfg.max_pairs - 1)
-    # sorted_gid already carries ORIGINAL gaussian ids (run-filled
-    # before the sort), so placement is a single gather.
-    pair_gid = jnp.where(in_tile, sorted_gid[src], 0).reshape(P)
-    in_tile = in_tile.reshape(P)
+    if counting:
+        # Direct placement: scatter each pair's gaussian id to
+        # tile_start[tile] + depth-slot (counts -> prefix -> place).
+        dest = jnp.where(
+            st < num_tiles, tile_start[jnp.minimum(st, num_tiles - 1)] + slot,
+            P,
+        )
+        pair_gid = (
+            jnp.zeros((P,), jnp.int32)
+            .at[dest]
+            .set(pair_orig[orig], mode="drop")
+        )
+        in_tile = in_tile.reshape(P)
+    else:
+        rawstart_b = raw_start[tile_of_block][:, None]
+        src = jnp.clip(rawstart_b + slot_mat, 0, cfg.max_pairs - 1)
+        # sorted_gid already carries ORIGINAL gaussian ids (run-filled
+        # before the sort), so placement is a single gather.
+        pair_gid = jnp.where(in_tile, sorted_gid[src], 0).reshape(P)
+        in_tile = in_tile.reshape(P)
     # Name the (small, integer) pair layout so rollout remat policies can
     # SAVE it instead of re-running the sorts (see train/grounding.py).
     from jax.ad_checkpoint import checkpoint_name

@@ -394,3 +394,75 @@ def test_builders_agree_fuzz(seed):
             lst = [pair_gid[j] for j in range(a, b) if pair_valid[j]]
             ref = [g for g in tile_mat[t] if g >= 0]
             assert lst == ref, (seed, max_pairs, t)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_counting_binner_matches_sort_binner(seed):
+    """pair_binning='counting' (two-level counting sort + direct
+    placement) produces BIT-IDENTICAL tile matrices and aligned-pair
+    layouts to the global packed-key sort, including with per-tile
+    depth truncation (max_per_tile) in play."""
+    from neuma_tpu.render.camera import Camera
+    from neuma_tpu.render.gaussians import create_from_points
+    from neuma_tpu.render.rasterize import (
+        RasterConfig,
+        _build_aligned_pairs,
+        _build_tile_lists,
+        _project,
+    )
+
+    r = np.random.default_rng(300 + seed)
+    n = int(r.integers(200, 900))
+    w = int(r.integers(6, 16)) * 16
+    h = int(r.integers(6, 16)) * 16
+    pts = (0.3 + 0.4 * r.random((n, 3))).astype(np.float32)
+    pack = create_from_points(
+        pts, r.random((n, 3)).astype(np.float32), sh_degree=0
+    )
+    cam = Camera.look_at(
+        eye=np.array([0.5, 0.6, -1.4 - r.random()]),
+        target=np.array([0.5, 0.5, 0.5]),
+        fov=0.8,
+        width=w,
+        height=h,
+    )
+    depth, vis, m2d, conic, radius = jax.jit(
+        lambda m: _project(m, pack.get_covariance(), cam)
+    )(jnp.asarray(pts))
+
+    for max_pairs, max_per_tile in [(1 << 13, 1024), (1 << 14, 8)]:
+        cfgs = {
+            mode: RasterConfig(
+                max_pairs=max_pairs,
+                max_per_tile=max_per_tile,
+                pair_binning=mode,
+            )
+            for mode in ("counting", "sort")
+        }
+        outs = {
+            mode: jax.jit(
+                lambda *a, c=cfg: _build_tile_lists(*a, w, h, c)
+            )(depth, vis, m2d, radius)
+            for mode, cfg in cfgs.items()
+        }
+        np.testing.assert_array_equal(
+            np.asarray(outs["counting"][0]),
+            np.asarray(outs["sort"][0]),
+            err_msg=f"tile_mat (budget {max_pairs}/{max_per_tile})",
+        )
+        assert bool(outs["counting"][3]) == bool(outs["sort"][3])
+
+        al = {
+            mode: jax.jit(
+                lambda *a, c=cfg: _build_aligned_pairs(*a, w, h, c)
+            )(depth, vis, m2d, radius)
+            for mode, cfg in cfgs.items()
+        }
+        for i, name in [(0, "pair_gid"), (1, "pair_valid"),
+                        (2, "tile_start")]:
+            np.testing.assert_array_equal(
+                np.asarray(al["counting"][i]),
+                np.asarray(al["sort"][i]),
+                err_msg=f"{name} (budget {max_pairs})",
+            )
+        assert bool(al["counting"][5]) == bool(al["sort"][5])
