@@ -47,13 +47,22 @@ def main(argv=None):
     args = parse_args(argv)
     cfg = load_config(args.config, args.set)
 
+    # Multi-host entry (no-op single-process; SURVEY.md section 5.8):
+    # on a pod slice every host runs this same program and only the
+    # primary writes checkpoints/logs.
+    from ..parallel.distributed import initialize, is_primary
+
+    initialize()
+    primary = is_primary()
+
     np.random.seed(cfg.get("seed", 42))
 
     exp_root, tune_root = resolve_exp_dirs(
         cfg, cfg.get("resume", False), cfg.get("overwrite", False)
     )
-    cfg.save(exp_root / "config.yaml")
-    Logger.tee(exp_root / "log.txt")
+    if primary:
+        cfg.save(exp_root / "config.yaml")
+        Logger.tee(exp_root / "log.txt")
     timer = Timer()
 
     data_root = Path(cfg.get("data_root", exp_root / "sim_data"))
@@ -113,7 +122,8 @@ def main(argv=None):
             ),
         )
         init_v = result.init_v
-        np.savez(init_path, init_x=init_data.pos, init_v=init_v)
+        if primary:
+            np.savez(init_path, init_x=init_data.pos, init_v=init_v)
     print(f"Initial velocity obtained: {np.asarray(init_v).reshape(-1, 3).mean(0)}")
 
     # ---------------- stage 2: LoRA constitutive ----------------------
@@ -164,9 +174,11 @@ def main(argv=None):
         con.to_dict(),
         params_e,
         params_p,
-        checkpoint_fn=lambda e, a, b, l: save_lora_checkpoint(
-            tune_root, e, elasticity, plasticity, a, b, l, keep
-        ),
+        checkpoint_fn=(
+            lambda e, a, b, l: save_lora_checkpoint(
+                tune_root, e, elasticity, plasticity, a, b, l, keep
+            )
+        ) if primary else None,
         log_fn=lambda e, l, en, pn, d: print(
             f"[constitutive] epoch {e}/{con.num_epochs} loss {l:.4e} "
             f"e-gd {en:.2e} p-gd {pn:.2e} decay {d:.2f} "

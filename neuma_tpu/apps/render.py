@@ -69,6 +69,11 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     cfg = load_config(args.config, args.set)
+
+    # Multi-host entry (no-op single-process; SURVEY.md section 5.8).
+    from ..parallel.distributed import initialize
+
+    initialize()
     if args.sim_dt is not None:
         cfg.sim.dt = args.sim_dt
     if args.change_base_model is not None:

@@ -51,13 +51,23 @@ def initialize(
             process_id=process_id,
         )
         return True
-    # On Cloud TPU pods, an argless initialize autodetects topology; off
-    # a pod it raises/no-ops — treat as single-process.
-    if os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get(
-        "MEGASCALE_COORDINATOR_ADDRESS"
-    ):
-        jax.distributed.initialize()
-        return True
+    # On Cloud TPU pods, an argless initialize autodetects topology.
+    # Only engage when the worker list actually names MULTIPLE hosts —
+    # single-host tunnels (e.g. TPU_WORKER_HOSTNAMES=localhost) need no
+    # distributed runtime, and initializing after the backend is up
+    # raises. Failures degrade to single-process rather than killing
+    # the app.
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if "," in hosts or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        try:
+            jax.distributed.initialize()
+            return True
+        except RuntimeError as e:  # backend already up / double init
+            import warnings
+
+            warnings.warn(
+                f"jax.distributed auto-init skipped: {e}", RuntimeWarning
+            )
     return False
 
 
