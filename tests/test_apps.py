@@ -260,3 +260,22 @@ def test_evaluate_app(tmp_path, rng):
     )
     assert 20 < means["psnr"] < 50
     assert 0 < means["ssim"] <= 1
+
+    # LPIPS provenance is pinned in the output: this container has
+    # neither the official `lpips` package nor vendored VGG weights, so
+    # the metric column MUST be the labeled random-VGG fallback — never
+    # an ambiguous 'lpips' produced by random weights.
+    try:
+        import lpips  # noqa: F401
+
+        expected = "lpips"
+    except ImportError:
+        from neuma_tpu.train.lpips import VENDORED_WEIGHTS
+
+        expected = (
+            "lpips_vgg" if VENDORED_WEIGHTS.is_file() else "lpips_vgg_rand"
+        )
+    lpips_keys = [k for k in means if k.startswith("lpips")]
+    assert lpips_keys == [expected], means.keys()
+    metrics_txt = (rdir / "metrics.txt").read_text()
+    assert f"{expected}:" in metrics_txt

@@ -146,6 +146,85 @@ def test_synthetic_cc_finetune_and_render(tmp_path, rng):
     assert len(list((exp_root / "results" / "ccsmoke").glob("*.png"))) == 2
 
 
+@pytest.mark.parametrize(
+    "rel,base",
+    [
+        ("synthetic/finetune-hb.yaml", "sand_0300.pt"),  # viscous honey
+        ("synthetic/finetune-sf.yaml", "sand_0300.pt"),  # Drucker-Prager
+        ("synthetic/finetune-jd.yaml", "jelly_0300.pt"),  # hyperelastic
+        ("synthetic/finetune-rp.yaml", "plasticine_0300.pt"),  # von Mises
+    ],
+)
+def test_synthetic_family_grounding_smoke(tmp_path, rng, rel, base):
+    """Every remaining synthetic family (hb viscous / sf sand / jd
+    jelly / rp rubber) drives BOTH finetune stages + the render app on
+    its translated config — each exercises a different constitutive
+    regime (VolumeElasticity+viscosity, Drucker-Prager, hyperelastic,
+    von Mises) through its actual pretrained base."""
+    if not (BASE_CKPTS / base).is_file():
+        pytest.skip("reference base checkpoints unavailable")
+    from neuma_tpu.apps import finetune as finetune_app
+    from neuma_tpu.apps import render as render_app
+
+    cfg = load_cfg(rel)
+    exp_name = cfg["name"]
+    view = cfg["velocity"]["views"][0]  # d_2 (hb/sf) or d_3 (jd/rp)
+
+    data_path = tmp_path / "dataset"
+    make_synthetic_dataset(
+        data_path, rng, size=48, views=[view], n_steps=4
+    )
+    kernels, mesh = make_assets(tmp_path, rng)
+    deep_update(
+        cfg,
+        {
+            "root": str(tmp_path / "logs"),
+            "data_root": str(tmp_path / "sim_data"),
+            "pretrained_ckpt": str(BASE_CKPTS / base),
+            "gaussian": {"sh_degree": 2, "kernels_path": str(kernels)},
+            "video_data": {"data": {"path": str(data_path)}},
+            "sim": {"num_grids": 16},
+            "particle_data": {
+                "shape": {
+                    "ori_bounds": [[0.2, 0.25, 0.2], [0.8, 0.85, 0.8]],
+                    "sim_bounds": [[0.2, 0.25, 0.2], [0.8, 0.85, 0.8]],
+                },
+                "mesh_path": str(mesh),
+                "mesh_sample_mode": "uniform",
+                "mesh_sample_resolution": 10,
+            },
+            "raster": {
+                "max_pairs": 8192, "max_per_tile": 256, "segment": 16,
+            },
+            "constitution": {
+                "num_epochs": 2,
+                "num_frames": 2,
+                "elasticity_scheduler": {"max_steps": 2},
+                "plasticity_scheduler": {"max_steps": 2},
+            },
+            "velocity": {
+                "num_epochs": 2,
+                "num_frames": 2,
+                "scheduler": {"max_steps": 2},
+            },
+        },
+    )
+    cfg_path = tmp_path / "family.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    result = finetune_app.main(["-c", str(cfg_path)])
+    assert result is not None and all(np.isfinite(result.losses))
+    exp_root = tmp_path / "logs" / exp_name
+    assert (exp_root / "finetune" / "init.npz").is_file()
+    assert list((exp_root / "finetune").glob("*_lora.npz"))
+
+    render_app.main(
+        ["-c", str(cfg_path), "-s", "2", "-vn", "smoke", "-dv", view]
+    )
+    assert len(list((exp_root / "results" / "smoke").glob("*.png"))) == 2
+
+
 @pytest.mark.skipif(
     not (BASE_CKPTS / "jelly_0300.pt").is_file(),
     reason="reference base checkpoints unavailable",
