@@ -41,6 +41,16 @@ button { margin: 4px 2px; }
   <button id="addkey">+keyframe</button>
   <button id="renderpath">render path</button>
   <span id="nkeys">0 keys</span>
+  <div id="pathctl">
+    trans <input id="ktrans" type="number" value="0.4" step="0.1"
+                 min="0.05" style="width:4em"/>s
+    hold <input id="khold" type="number" value="0" step="0.1" min="0"
+                style="width:4em"/>s
+    fps <input id="kfps" type="number" value="30" min="1"
+               style="width:4em"/>
+    loop <input id="kloop" type="checkbox"/>
+    <button id="clearkeys">clear</button>
+  </div>
   <div id="objects"></div>
   <div>drag = orbit, wheel = zoom</div>
 </div>
@@ -97,13 +107,23 @@ document.getElementById('resim').onclick = async () => {
 };
 let keyframes = [];
 document.getElementById('addkey').onclick = () => {
-  keyframes.push({eye: eye(), target: [...target]});
+  // Per-keyframe transition (travel time FROM the previous key) and
+  // hold (dwell) captured from the path controls at add time.
+  keyframes.push({eye: eye(), target: [...target],
+    transition_sec: +document.getElementById('ktrans').value,
+    hold_sec: +document.getElementById('khold').value});
   document.getElementById('nkeys').textContent = `${keyframes.length} keys`;
+};
+document.getElementById('clearkeys').onclick = () => {
+  keyframes = [];
+  document.getElementById('nkeys').textContent = '0 keys';
 };
 document.getElementById('renderpath').onclick = async () => {
   if (keyframes.length < 2) { alert('need >= 2 keyframes'); return; }
   const r = await fetch('/render_path', {method:'POST',
-    body: JSON.stringify({keyframes, steps_per_segment: 12})});
+    body: JSON.stringify({keyframes, spline: true,
+      fps: +document.getElementById('kfps').value,
+      loop: document.getElementById('kloop').checked})});
   const d = await r.json();
   alert('path video: ' + d.path);
 };
@@ -227,30 +247,58 @@ class DynamicViewer:
             def do_POST(self):
                 if self.path == "/render_path":
                     # Camera-path rendering (the equivalent of the
-                    # reference's vendored nerfstudio render_panel:
-                    # keyframes -> slerp path -> video, playing the
-                    # rollout along the path).
+                    # reference's vendored nerfstudio render_panel):
+                    # keyframes -> centripetal Catmull-Rom spline with
+                    # per-keyframe transition/hold durations and
+                    # optional loop (vis/campath.py) -> video, playing
+                    # the rollout along the path. Legacy payloads with
+                    # only steps_per_segment fall back to pairwise
+                    # slerp.
                     length = int(self.headers.get("Content-Length", 0))
                     data = json.loads(self.rfile.read(length) or b"{}")
                     keys = data.get("keyframes", [])
-                    steps = int(data.get("steps_per_segment", 12))
-                    cams = []
-                    for a, b in zip(keys[:-1], keys[1:]):
-                        c1 = Camera.look_at(
-                            eye=np.array(a["eye"]),
-                            target=np.array(a["target"]),
-                            fov=viewer.fov,
-                            width=viewer.width,
-                            height=viewer.height,
+                    use_spline = data.get("spline", True) and len(keys) >= 2
+                    if use_spline:
+                        from .campath import spline_path
+
+                        poses = spline_path(
+                            keys,
+                            fps=int(data.get("fps", 30)),
+                            default_transition_sec=float(
+                                data.get("transition_sec", 0.4)
+                            ),
+                            loop=bool(data.get("loop", False)),
+                            default_fov=viewer.fov,
                         )
-                        c2 = Camera.look_at(
-                            eye=np.array(b["eye"]),
-                            target=np.array(b["target"]),
-                            fov=viewer.fov,
-                            width=viewer.width,
-                            height=viewer.height,
-                        )
-                        cams.extend(Camera.interpolate(c1, c2, steps))
+                        cams = [
+                            Camera.look_at(
+                                eye=np.asarray(e),
+                                target=np.asarray(t),
+                                fov=f,
+                                width=viewer.width,
+                                height=viewer.height,
+                            )
+                            for e, t, f in poses
+                        ]
+                    else:
+                        steps = int(data.get("steps_per_segment", 12))
+                        cams = []
+                        for a, b in zip(keys[:-1], keys[1:]):
+                            c1 = Camera.look_at(
+                                eye=np.array(a["eye"]),
+                                target=np.array(a["target"]),
+                                fov=viewer.fov,
+                                width=viewer.width,
+                                height=viewer.height,
+                            )
+                            c2 = Camera.look_at(
+                                eye=np.array(b["eye"]),
+                                target=np.array(b["target"]),
+                                fov=viewer.fov,
+                                width=viewer.width,
+                                height=viewer.height,
+                            )
+                            cams.extend(Camera.interpolate(c1, c2, steps))
                     import tempfile
 
                     out_dir = Path(tempfile.mkdtemp(prefix="campath_"))

@@ -267,3 +267,65 @@ def test_viewer_resimulate_with_panel_settings(rng):
             assert needle in page
     finally:
         server.shutdown()
+
+
+def test_spline_path_math():
+    """campath.spline_path: passes exactly through keyframes, honors
+    per-keyframe transition/hold durations, and closes loops."""
+    import numpy as np
+
+    from neuma_tpu.vis.campath import spline_path
+
+    keys = [
+        {"eye": [0.0, 0.0, 0.0], "target": [1.0, 0.0, 0.0],
+         "hold_sec": 0.1},
+        {"eye": [1.0, 1.0, 0.0], "target": [1.0, 1.0, 1.0],
+         "transition_sec": 0.5},
+        {"eye": [2.0, 0.0, 1.0], "target": [0.0, 1.0, 1.0],
+         "transition_sec": 1.0, "fov": 1.1},
+    ]
+    fps = 10
+    frames = spline_path(keys, fps=fps, default_fov=0.8)
+    # counts: seg0 = 0.5s*10 = 5, seg1 = 1.0s*10 = 10, +1 final pose,
+    # +1 hold repeat at key0 (0.1s*10 = 1).
+    assert len(frames) == 5 + 10 + 1 + 1
+    eyes = np.array([f[0] for f in frames])
+    # Passes through the keyframes: key0 at index 0 (and its hold
+    # repeat at 1), key1 right after seg0 (+1 hold offset), key2 last.
+    np.testing.assert_allclose(eyes[0], keys[0]["eye"], atol=1e-9)
+    np.testing.assert_allclose(eyes[1], keys[0]["eye"], atol=1e-9)
+    np.testing.assert_allclose(eyes[1 + 5], keys[1]["eye"], atol=1e-9)
+    np.testing.assert_allclose(eyes[-1], keys[2]["eye"], atol=1e-9)
+    # fov blends to the final keyframe's 1.1.
+    assert abs(frames[-1][2] - 1.1) < 1e-9
+    assert abs(frames[0][2] - 0.8) < 1e-9
+
+    # Loop: k segments, no duplicated final pose, trajectory returns
+    # toward key0 (last sample is one step before key0).
+    loop_frames = spline_path(
+        [dict(k, hold_sec=0) for k in keys], fps=fps, loop=True,
+        default_transition_sec=0.5,
+    )
+    assert len(loop_frames) == 5 + 10 + 5  # key0.transition default 0.5
+    np.testing.assert_allclose(
+        loop_frames[0][0], keys[0]["eye"], atol=1e-9
+    )
+
+
+def test_spline_path_smoother_than_linear():
+    """The spline's interior samples bend toward neighboring keyframes
+    (not the straight chord): curvature is the editor's whole point."""
+    import numpy as np
+
+    from neuma_tpu.vis.campath import spline_path
+
+    keys = [
+        {"eye": [0.0, 0.0, 0.0], "target": [0, 0, 1]},
+        {"eye": [1.0, 1.0, 0.0], "target": [0, 0, 1]},
+        {"eye": [2.0, 0.0, 0.0], "target": [0, 0, 1]},
+    ]
+    frames = spline_path(keys, fps=10, default_transition_sec=1.0)
+    eyes = np.array([f[0] for f in frames])
+    mid01 = eyes[5]  # halfway through segment 0
+    chord = 0.5 * (np.array(keys[0]["eye"]) + np.array(keys[1]["eye"]))
+    assert np.linalg.norm(mid01 - chord) > 1e-3
