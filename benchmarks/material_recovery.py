@@ -107,6 +107,8 @@ def main(argv=None):
     p.add_argument("--elasticity-lr", type=float, default=None)
     p.add_argument("--plasticity-lr", type=float, default=None)
     p.add_argument("--lora-r", type=int, default=16)
+    p.add_argument("--max-pairs", type=int, default=None)
+    p.add_argument("--max-per-tile", type=int, default=None)
     p.add_argument("--perturb", type=float, default=1.3,
                    help="GT elasticity weight scale (material A)")
     p.add_argument("--quick", action="store_true",
@@ -182,11 +184,13 @@ def main(argv=None):
         scene,
         raster_cfg=dataclasses.replace(
             scene.raster_cfg,
-            max_pairs=(1 << 15) if args.quick else (1 << 16),
-            # quick mode has only (img/16)^2 ~ 9 tiles: per-tile depth
-            # must exceed the particle count or any clustered frame
-            # trips the depth overflow.
-            max_per_tile=512 if args.quick else 512,
+            max_pairs=args.max_pairs
+            or ((1 << 15) if args.quick else (1 << 16)),
+            # small images have few tiles: per-tile depth must cover
+            # clustered frames or the depth overflow trips. Default to
+            # "everything can land in one tile" below 1k particles.
+            max_per_tile=args.max_per_tile
+            or max(512, min(args.particles, 4096)),
             segment=16 if args.quick else 32,
         ),
     )
