@@ -180,6 +180,7 @@ def make_halo_sim_step(
     constants: MPMConstants,
     mesh: Mesh,
     axis: str = "dp",
+    tol: int = 0,
 ):
     """Returns ``step(part_statics, part_state, part_stress) ->
     (new_part_state, margin_bad)`` operating on partitioned
@@ -191,11 +192,27 @@ def make_halo_sim_step(
     per-shard block sort. ``margin_bad`` is a (n_shards,) bool — an
     enabled particle's stencil left its shard's view, so the step's
     output (and its gradients) dropped mass; callers must repartition
-    more often or raise capacity."""
+    more often or raise capacity.
+
+    ``tol`` is the DRIFT TOLERANCE in cells: with tol > 0 the per-shard
+    view widens by ``tol`` on each side (halo_lo = 2 + 0, halo_hi =
+    2 + tol low/high asymmetry folded below), so particles may wander
+    up to ``tol`` cells outside their bin's slab between repartitions —
+    the enabler for amortized (per-frame instead of per-substep)
+    repartitioning. Costs O(tol * G^2) extra halo traffic per step."""
     n_shards = mesh.shape[axis]
     g = constants.num_grids
     w = slab_width(g, n_shards)
-    size_x = w + 2 * HALO  # local p2g region rows
+    # View rows [s*w - lo, s*w + w + hi): a particle with stencil base
+    # in [s*w - tol, s*w + w - 1 + tol] has all taps (base .. base+2)
+    # inside the view when lo = HALO + tol and hi = HALO + tol.
+    lo = HALO + tol
+    hi = HALO + tol
+    assert w >= max(lo, hi), (
+        f"slab width {w} must cover the halo ({max(lo, hi)}): fewer "
+        f"shards or a bigger grid"
+    )
+    size_x = w + lo + hi  # local p2g region rows
     dims = (size_x, g, g)
     # Mirror mpm._step_sort: the blocked path (which consumes the shared
     # sort) only engages past the dense-path crossover.
@@ -213,7 +230,7 @@ def make_halo_sim_step(
         # interface.py:65-74; mpm_step_diff bakes the same into its
         # direct adjoint).
         state, stress = scrub_cotangents((state, stress))
-        x_lo = shard * w - HALO
+        x_lo = shard * w - lo
         zero = jnp.zeros((), jnp.int32)
         geom = GridGeom(
             dims=dims,
@@ -221,16 +238,17 @@ def make_halo_sim_step(
         )
 
         # -- 0. ownership margin flag ---------------------------------
-        # g2p needs every enabled particle's stencil inside
-        # [s*w, s*w + w + 2) — i.e. exact slab ownership. (p2g alone
-        # would tolerate +-HALO drift; g2p is the binding constraint.)
+        # Every enabled particle's stencil must stay inside the view;
+        # within ``tol`` cells of drift that holds by construction,
+        # past it mass silently leaves — hence the flag.
         base_x = jnp.floor(
             state.x[:, 0] * constants.inv_dx - 0.5
         ).astype(jnp.int32)
-        owner = jnp.clip(base_x, 0, g - 1) // w
-        margin_bad = jnp.any(
-            (statics.enabled > 0) & (owner != shard)
+        base_c = jnp.clip(base_x, 0, g - 1)
+        in_window = (base_c >= shard * w - tol) & (
+            base_c <= shard * w + w - 1 + tol
         )
+        margin_bad = jnp.any((statics.enabled > 0) & ~in_window)
 
         sort = (
             build_step_layouts(constants, state.x, geom=geom)
@@ -247,8 +265,8 @@ def make_halo_sim_step(
         grid_f = grid_f.reshape(size_x, g * g, 3)
 
         # -- 2. halo exchange of mass/momentum faces ------------------
-        # rows [0, HALO) belong to the left neighbor's slab; rows
-        # [HALO+w, size_x) to the right's. Cyclic wrap adds only
+        # rows [0, lo) belong to the left neighbor's slab; rows
+        # [lo+w, size_x) to the right's. Cyclic wrap adds only
         # identically-zero rows (nothing deposits outside [0, G-1]).
         right = [(i, (i + 1) % n_shards) for i in range(n_shards)]
         left = [(i, (i - 1) % n_shards) for i in range(n_shards)]
@@ -258,14 +276,14 @@ def make_halo_sim_step(
             f = jax.lax.ppermute(rows_f, axis, perm)
             return m, f
 
-        lo_m, lo_f = send(grid_m[:HALO], grid_f[:HALO], left)
-        hi_m, hi_f = send(grid_m[HALO + w :], grid_f[HALO + w :], right)
-        own_m = grid_m[HALO : HALO + w]
-        own_f = grid_f[HALO : HALO + w]
+        lo_m, lo_f = send(grid_m[:lo], grid_f[:lo], left)
+        hi_m, hi_f = send(grid_m[lo + w :], grid_f[lo + w :], right)
+        own_m = grid_m[lo : lo + w]
+        own_f = grid_f[lo : lo + w]
         # left-neighbor's hi face lands on our leading rows; right's lo
         # face on our trailing rows.
-        own_m = own_m.at[:HALO].add(hi_m).at[w - HALO :].add(lo_m)
-        own_f = own_f.at[:HALO].add(hi_f).at[w - HALO :].add(lo_f)
+        own_m = own_m.at[:hi].add(hi_m).at[w - lo :].add(lo_m)
+        own_f = own_f.at[:hi].add(hi_f).at[w - lo :].add(lo_f)
 
         # -- 3. grid_op on the owned slab (global coords via origin) --
         geom_own = GridGeom(
@@ -279,15 +297,24 @@ def make_halo_sim_step(
             geom_own,
         ).reshape(w, g * g, 3)
 
-        # -- 4. gather the 2 leading rows of the RIGHT neighbor -------
-        lead = jax.lax.ppermute(v[:HALO], axis, left)
-        # Full-view velocity buffer: rows [0, HALO) are never tapped by
-        # an owned particle (taps start at local HALO), so zeros keep
-        # the buffer aligned with the scatter view — ONE shared block
-        # sort serves both primitives.
-        v_full = jnp.concatenate(
-            [jnp.zeros((HALO,) + v.shape[1:], v.dtype), v, lead], axis=0
-        )
+        # -- 4. exchange owned velocity rows so the whole view is
+        # tappable: the right neighbor's leading ``hi`` rows extend the
+        # top; with drift (tol > 0) the LOW side is tappable too, so
+        # the left neighbor's trailing ``lo`` rows fill view rows
+        # [0, lo). Exact ownership (tol == 0) never taps those rows —
+        # zeros skip the second ppermute.
+        lead = jax.lax.ppermute(v[:hi], axis, left)  # from the right
+        if tol > 0:
+            trail = jax.lax.ppermute(
+                v[w - lo :], axis, right
+            )  # from the left
+        else:
+            trail = jnp.zeros((lo,) + v.shape[1:], v.dtype)
+        # Edge wrap safety: shard 0's "left" rows carry shard n-1's
+        # velocities, but global clamping keeps every tap at local row
+        # >= lo for shard 0 (taps clamp to line >= 0), so wrapped rows
+        # are never tapped; symmetrically at the top.
+        v_full = jnp.concatenate([trail, v, lead], axis=0)
 
         # -- 5. local g2p + advection ----------------------------------
         new_v, new_C = g2p_core(
@@ -326,6 +353,7 @@ def make_halo_mpm_step(
     mesh: Mesh,
     axis: str = "dp",
     capacity: Optional[int] = None,
+    tol: int = 0,
 ):
     """The trainer-facing halo step: ``step(state, stress) ->
     (new_state, overflow)`` on GLOBAL (N, ...) particle arrays.
@@ -340,9 +368,13 @@ def make_halo_mpm_step(
     ``capacity`` is the static per-shard bin size; default N (always
     safe — particles may cluster in one slab). Deployments shard scenes
     whose extent spans the box and can lower it to ~N/n_shards * slack.
+
+    For amortized repartitioning (bins carried across a substep scan,
+    repartition once per frame) compose the pieces directly — see
+    ``make_halo_bins_step`` and ``train/grounding.py``'s halo branch.
     """
     n_shards = mesh.shape[axis]
-    inner = make_halo_sim_step(constants, mesh, axis)
+    inner = make_halo_sim_step(constants, mesh, axis, tol=tol)
 
     def step(state: ParticleState, stress: jnp.ndarray):
         n = state.x.shape[0]
@@ -362,3 +394,24 @@ def make_halo_mpm_step(
         return new_state, overflow
 
     return step
+
+
+def make_halo_bins_step(
+    constants: MPMConstants,
+    mesh: Mesh,
+    axis: str = "dp",
+    tol: int = 2,
+):
+    """Bins-space halo step for AMORTIZED repartitioning: ``step(
+    part_statics, bins_state, bins_stress) -> (new_bins, margin_bad)``
+    stays entirely in (n_shards, cap, ...) layout, so a substep scan
+    can carry the bins and repartition only once per frame — the
+    per-substep global argsort + gather/scatter of the exact-ownership
+    wrapper disappears from the inner loop.
+
+    ``tol`` cells of drift are tolerated (the halo widens accordingly);
+    under CFL (particles move well under one cell per substep) a whole
+    frame of substeps fits comfortably in tol=2. ``margin_bad`` fires
+    when any enabled particle drifted past the tolerance — callers must
+    surface it like the raster pair-budget overflow."""
+    return make_halo_sim_step(constants, mesh, axis, tol=tol)

@@ -201,14 +201,20 @@ def make_rollout_loss(scene: GroundingScene) -> Callable:
     if scene.grid_mode == "halo":
         if scene.mesh is None:
             raise ValueError("grid_mode='halo' requires scene.mesh")
-        from ..parallel.halo import make_halo_mpm_step
+        from ..parallel.halo import (
+            make_halo_bins_step,
+            partition_particles,
+            unpartition,
+        )
 
-        halo_step = make_halo_mpm_step(
-            constants,
-            statics,
-            scene.mesh,
-            scene.particle_axis or "dp",
-            scene.halo_capacity,
+        halo_axis = scene.particle_axis or "dp"
+        n_halo_shards = scene.mesh.shape[halo_axis]
+        # Drift tolerance 2 cells: CFL keeps per-substep motion well
+        # under one cell, so one repartition per FRAME suffices (the
+        # margin flag in the loss aux guards the assumption) — the
+        # global argsort + bin gather/scatter leaves the substep loop.
+        halo_step = make_halo_bins_step(
+            constants, scene.mesh, halo_axis, tol=2
         )
     elif scene.grid_mode != "replicated":
         raise ValueError(f"unknown grid_mode: {scene.grid_mode!r}")
@@ -243,12 +249,45 @@ def make_rollout_loss(scene: GroundingScene) -> Callable:
             gt_frame, weight, is_excluded = inputs
             state, layouts, de_x_prev, g_prev = carry
 
-            def sub(c, _):
-                s, layouts = c
-                stress = scene.elasticity.apply(params_e, s.F)
-                if scene.grid_mode == "halo":
-                    s, h_ovf = halo_step(s, stress)
-                else:
+            if scene.grid_mode == "halo":
+                # Partition ONCE per frame; the substep scan stays in
+                # (n_shards, cap, ...) bins space (drift covered by the
+                # widened halo; margin flag guards the tolerance).
+                part = partition_particles(
+                    constants, state, statics, n_halo_shards,
+                    scene.halo_capacity or n_particles,
+                )
+                valid_m = part.valid[..., None, None]
+
+                def sub_h(bins, _):
+                    flat_f = bins.F.reshape((-1, 3, 3))
+                    stress = scene.elasticity.apply(
+                        params_e, flat_f
+                    ).reshape(bins.F.shape)
+                    stress = jnp.where(valid_m, stress, 0.0)
+                    new_bins, margin = halo_step(
+                        part.statics, bins, stress
+                    )
+                    f_p = scene.plasticity.apply(
+                        params_p, new_bins.F.reshape((-1, 3, 3))
+                    ).reshape(bins.F.shape)
+                    new_bins = dataclasses.replace(new_bins, F=f_p)
+                    return new_bins, jnp.any(margin)
+
+                bins, margins = jax.lax.scan(
+                    sub_h, part.state, None, length=scene.substeps
+                )
+                halo_overflow = part.overflow | jnp.any(margins)
+                state = unpartition(
+                    dataclasses.replace(part, state=bins),
+                    n_particles,
+                    state,
+                )
+            else:
+
+                def sub(c, _):
+                    s, layouts = c
+                    stress = scene.elasticity.apply(params_e, s.F)
                     if layouts is not None:
                         layouts, _ = refresh_step_layouts(
                             constants, s.x, layouts
@@ -256,14 +295,13 @@ def make_rollout_loss(scene: GroundingScene) -> Callable:
                     s = mpm_step_diff(
                         constants, statics, s, stress, layouts
                     )
-                    h_ovf = jnp.bool_(False)
-                F = scene.plasticity.apply(params_p, s.F)
-                return (dataclasses.replace(s, F=F), layouts), h_ovf
+                    F = scene.plasticity.apply(params_p, s.F)
+                    return (dataclasses.replace(s, F=F), layouts), None
 
-            (state, layouts), h_ovfs = jax.lax.scan(
-                sub, (state, layouts), None, length=scene.substeps
-            )
-            halo_overflow = jnp.any(h_ovfs)
+                (state, layouts), _ = jax.lax.scan(
+                    sub, (state, layouts), None, length=scene.substeps
+                )
+                halo_overflow = jnp.bool_(False)
             state = constrain_particles(state)
 
             de_x = denormalize_points(state.x, scene.size, scene.center)

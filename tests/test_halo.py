@@ -214,3 +214,73 @@ def test_halo_margin_flag_fires_on_foreign_particles(rng, mesh8):
     step = jax.jit(make_halo_sim_step(constants, mesh8))
     _, margin_bad = step(rolled_statics, rolled, stress_b)
     assert bool(jnp.any(margin_bad))
+
+
+def test_bins_carried_steps_match_per_step_repartition(rng, mesh8):
+    """Amortized repartitioning: a bins-carried multi-substep scan
+    (make_halo_bins_step, tol=2, particles binned ONCE) matches the
+    exact-ownership per-step-repartition wrapper — and the
+    single-device rollout — while particles drift within tolerance."""
+    from neuma_tpu.parallel.halo import make_halo_bins_step
+
+    constants, statics, state, stress = make_scene(rng, n=256, g=32)
+    # Uniform velocity so every particle drifts ~0.25 cells/step —
+    # 4 steps of real drift, comfortably within tol=2.
+    drift_v = 0.25 / (constants.dt * constants.inv_dx)
+    state = dataclasses.replace(
+        state,
+        v=jnp.broadcast_to(
+            jnp.asarray([drift_v, 0.0, 0.0], jnp.float32), state.v.shape
+        ),
+    )
+    steps = 4
+
+    ref = state
+    for _ in range(steps):
+        ref = mpm_step(constants, statics, ref, stress)
+
+    part = partition_particles(constants, state, statics, 8, capacity=256)
+    stress_b = jnp.where(
+        part.valid[..., None, None], stress[part.perm], 0.0
+    )
+    bins_step = jax.jit(make_halo_bins_step(constants, mesh8, tol=2))
+
+    bins = part.state
+    for _ in range(steps):
+        bins, margin = bins_step(part.statics, bins, stress_b)
+        assert not bool(jnp.any(margin))
+    out = unpartition(
+        dataclasses.replace(part, state=bins), state.x.shape[0], state
+    )
+    for name in ("x", "v", "C", "F"):
+        a = np.asarray(getattr(out, name))
+        b = np.asarray(getattr(ref, name))
+        # scale-relative: the fast drift makes C/v O(10) while x/F are
+        # O(1), so normalize by each field's own magnitude.
+        scale = max(np.abs(b).max(), 1e-8)
+        np.testing.assert_allclose(
+            a / scale,
+            b / scale,
+            atol=3e-5,
+            err_msg=f"bins-carried mismatch in {name}",
+        )
+
+
+def test_bins_margin_fires_past_tolerance(rng, mesh8):
+    """Particles pushed > tol cells outside their stale bins trip the
+    margin flag instead of silently dropping mass."""
+    from neuma_tpu.parallel.halo import make_halo_bins_step
+
+    constants, statics, state, stress = make_scene(rng, n=256, g=32)
+    part = partition_particles(constants, state, statics, 8, capacity=256)
+    stress_b = jnp.where(
+        part.valid[..., None, None], stress[part.perm], 0.0
+    )
+    # Teleport the binned particles 3 cells up in x (> tol=2).
+    moved = dataclasses.replace(
+        part.state,
+        x=part.state.x.at[..., 0].add(3.0 / constants.inv_dx),
+    )
+    bins_step = jax.jit(make_halo_bins_step(constants, mesh8, tol=2))
+    _, margin = bins_step(part.statics, moved, stress_b)
+    assert bool(jnp.any(margin))
