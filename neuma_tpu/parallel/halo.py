@@ -107,20 +107,49 @@ def partition_particles(
     w = slab_width(constants.num_grids, n_shards)
     owner = owner_of(constants, state.x, w, n_shards)
 
-    order = jnp.argsort(owner, stable=True)
-    sorted_owner = owner[order]
-    # rank within shard = position - first position of this shard
-    shard_start = jnp.searchsorted(
-        sorted_owner, jnp.arange(n_shards + 1, dtype=jnp.int32),
-        side="left",
-    )
-    counts = shard_start[1:] - shard_start[:-1]
+    # Counting sort over the (few) shard buckets instead of an
+    # N log N argsort: a one-hot cumsum gives each particle its stable
+    # rank within its bucket directly (identical order to a stable
+    # argsort: by owner, ties by original index). The (N, n_shards)
+    # cumsum costs N*S ints of transient memory — past ~32M entries the
+    # argsort is the better trade.
+    if n * n_shards <= (1 << 25):
+        onehot = (
+            owner[:, None]
+            == jnp.arange(n_shards, dtype=owner.dtype)[None, :]
+        ).astype(jnp.int32)  # (N, n_shards)
+        incl = jnp.cumsum(onehot, axis=0)  # rank+1 in own bucket
+        counts = incl[-1]  # (n_shards,)
+        rank = (
+            jnp.take_along_axis(incl, owner[:, None], axis=1)[:, 0] - 1
+        )
+    else:
+        order = jnp.argsort(owner, stable=True)
+        inv = jnp.zeros((n,), jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32)
+        )
+        shard_start = jnp.searchsorted(
+            owner[order],
+            jnp.arange(n_shards + 1, dtype=jnp.int32),
+            side="left",
+        )
+        counts = (shard_start[1:] - shard_start[:-1]).astype(jnp.int32)
+        rank = inv - shard_start[owner]
     overflow = jnp.any(counts > capacity)
 
+    # Scatter each particle's index into its (shard, rank) slot; ranks
+    # past capacity drop (the overflow flag reports it).
+    dest = owner * capacity + rank
+    dest = jnp.where(rank < capacity, dest, n_shards * capacity)
+    src = (
+        jnp.zeros((n_shards * capacity,), jnp.int32)
+        .at[dest]
+        .set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+        .reshape(n_shards, capacity)
+    )
     slots = jnp.arange(capacity, dtype=jnp.int32)
-    pos = shard_start[:-1, None] + slots[None, :]  # (n_shards, cap)
     valid = slots[None, :] < counts[:, None]
-    src = order[jnp.clip(pos, 0, n - 1)]  # (n_shards, cap)
+    src = jnp.where(valid, src, jnp.clip(src, 0, n - 1))
 
     def take(arr):
         return arr[src]
