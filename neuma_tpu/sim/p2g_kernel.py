@@ -146,17 +146,31 @@ def block_sort(
     n = x.shape[0]
     base, fx, loc, bid, NB = _sort_geometry(constants, x, block, geom)
 
-    perm = jnp.argsort(bid)
-    sbid = bid[perm]
-    bins = jnp.arange(NB, dtype=sbid.dtype)
-    bstart = jnp.searchsorted(sbid, bins, side="left")
-    counts = jnp.searchsorted(sbid, bins, side="right") - bstart
-    # Scatter-set beats a second argsort for the inverse permutation.
-    inv_perm = (
-        jnp.zeros((n,), jnp.int32)
-        .at[perm]
-        .set(jnp.arange(n, dtype=jnp.int32))
-    )
+    idx = jnp.arange(n, dtype=jnp.int32)
+    if n * NB <= (1 << 25):
+        # Counting sort over the NB block buckets: a one-hot cumsum
+        # gives every particle its stable rank within its block (same
+        # order as a stable argsort — by bid, ties by index) with no
+        # sort network at all; one scatter materializes the
+        # permutation. Transient cost: (N, NB) ints.
+        onehot = (
+            bid[:, None] == jnp.arange(NB, dtype=bid.dtype)[None, :]
+        ).astype(jnp.int32)
+        incl = jnp.cumsum(onehot, axis=0)
+        counts = incl[-1]
+        rank = jnp.take_along_axis(incl, bid[:, None], axis=1)[:, 0] - 1
+        bstart = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+        inv_perm = bstart[bid] + rank
+        perm = jnp.zeros((n,), jnp.int32).at[inv_perm].set(idx)
+    else:
+        # Large N x NB: the one-hot table would dominate memory — fall
+        # back to the sort network.
+        perm = jnp.argsort(bid)
+        sbid = bid[perm]
+        bins = jnp.arange(NB, dtype=sbid.dtype)
+        bstart = jnp.searchsorted(sbid, bins, side="left")
+        counts = jnp.searchsorted(sbid, bins, side="right") - bstart
+        inv_perm = jnp.zeros((n,), jnp.int32).at[perm].set(idx)
     return BlockSort(perm, inv_perm, bstart, counts, bid, base, fx, loc)
 
 
