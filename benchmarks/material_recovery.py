@@ -201,10 +201,15 @@ def main(argv=None):
     # deformation F stays ~I and EVERY constitutive law produces the
     # same ballistic trajectory (no signal to recover).
     shift = jnp.asarray([0.0, -0.2, 0.0], jnp.float32)
+    # The grid BC wall must sit ABOVE the particle clip bound (0.1 of
+    # the box) or bodies position-clamp without any grid collision —
+    # no deformation, identical trajectories under every law (observed
+    # at grid=32 where 2 cells = 0.0625 < 0.1).
+    bound = max(2, int(round(0.12 * args.grid)))
     scene = dataclasses.replace(
         scene,
         constants=dataclasses.replace(
-            scene.constants, dt=jnp.float32(1e-3)
+            scene.constants, dt=jnp.float32(1e-3), bound=bound
         ),
         init_x=scene.init_x + shift,
         gaussians=dataclasses.replace(
