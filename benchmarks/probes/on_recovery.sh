@@ -10,10 +10,9 @@ python examples/smoke_e2e.py --workdir /tmp/smoke_rec --size 48 --frames 3 --epo
 # 2. headline + realworld scenarios (the driver metric)
 python bench.py 2>&1 | grep -v WARNING | tail -3
 
-# 3. 70^3 step probe; dual-gather VMEM fit A/B (flip default or delete)
-python benchmarks/probes/probe_step70.py 2>&1 | grep -v WARNING | tail -9
-NEUMA_DUAL_BWD=1 python benchmarks/probes/probe_step70.py 2>&1 | grep -v WARNING | tail -9
-NEUMA_DUAL_BWD=1 NEUMA_DUAL_CHUNK=128 python benchmarks/probes/probe_step70.py 2>&1 | grep -v WARNING | tail -3
+# 3. 70^3 step probe (the dual-gather A/B ran 2026-08-18: fused LOST
+#    14.6 vs 13.9 ms full step at every chunk size and was deleted)
+python benchmarks/probes/probe_step70.py 2>&1 | grep -v WARNING | tail -8
 
 # 4. round-3 A/B: counting vs sort pair binning (same bench, one flag)
 python - <<'EOF' 2>&1 | tail -4

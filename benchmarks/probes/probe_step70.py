@@ -124,15 +124,3 @@ def grad_body(c):
 
 
 timed("full step fwd+bwd", grad_body)
-
-
-# fused dual-problem backward gather (one kernel pass for both adjoints)
-from neuma_tpu.sim.p2g_kernel import apic_dual_gather_tpu  # noqa: E402
-
-timed(
-    "dual gather bwd (fused)",
-    lambda c: apic_dual_gather_tpu(
-        constants, x + c * 1e-9, gm1, b3, A33, df, du,
-        b3, A33, df, sort=sort0,
-    ),
-)

@@ -356,41 +356,16 @@ def _apic_bwd_impl(constants, x, gm, b, A, du, df, sort=None, geom=None):
     return _apic_bwd_jnp(constants, x, gm, b, A, du, df, geom)
 
 
-def _dual_bwd_enabled() -> bool:
-    """The fused kernel holds ~2x the single kernel's live VMEM
-    (estimated ~13 MB of the ~16 MB budget at C=256) and has not yet
-    been compiled on real hardware (the TPU tunnel was down when it was
-    written) — keep it opt-in until measured. Correctness is covered in
-    interpret mode either way."""
-    import os
-
-    return os.environ.get("NEUMA_DUAL_BWD", "0") == "1"
-
-
 def _apic_bwd_dual_impl(
     constants, x, gm, b, A, du, df, b2, A2, gv, sort=None, geom=None
 ):
-    """Two independent tap-gather adjoints of one step, fused into a
-    single kernel pass on TPU (shared one-hot factor build): problem 1
-    is the p2g scatter adjoint, problem 2 the g2p position adjoint.
-    Returns (dx1, dgm, db, dA, dx2)."""
-    if (
-        jax.default_backend() == "tpu"
-        and max(_geom_dims(constants, geom)) > 24
-        and _dual_bwd_enabled()
-    ):
-        import os
-
-        from .p2g_kernel import GATHER_CHUNK, apic_dual_gather_tpu
-
-        chunk = int(os.environ.get("NEUMA_DUAL_CHUNK", GATHER_CHUNK))
-        dx1, dgm, db, dA, dx2 = apic_dual_gather_tpu(
-            constants, x, gm, b, A, df, du, b2, A2, gv,
-            sort=sort, chunk=chunk, geom=geom,
-        )
-        if du is None or gm is None:
-            dgm = None
-        return dx1, dgm, db, dA, dx2
+    """Two independent tap-gather adjoints of one step: problem 1 is
+    the p2g scatter adjoint, problem 2 the g2p position adjoint.
+    Returns (dx1, dgm, db, dA, dx2). A fused single-pass kernel that
+    shared the one-hot factor build between the two problems was
+    measured on v5e and LOST (14.6 vs 13.9 ms full 70³ step — the
+    wider slab + payload traffic outweighed the shared build), so two
+    single-problem passes are the production path."""
     dx1, dgm, db, dA = _apic_bwd_impl(
         constants, x, gm, b, A, du, df, sort, geom
     )

@@ -502,26 +502,18 @@ def p2g_blocked_pallas(
 # — the z contraction rides the MXU, x/y live on the 256-lane dim.
 
 _OUT_COLS = 16  # dgm | db (3) | dA (9) | dx (3)
-_OUT_COLS_DUAL = 32  # + dx2 (3) at cols 16:19, rest pad
-# payload2 column layout (dual mode): [0:3]=b2_eff, [3:12]=a2_cols
-_P2_COLS = 16
 
 
-def _make_gather_kernel(derivs: bool, inv_dx: float, dual: bool = False):
-    """``dual=True`` fuses a SECOND tap-gather problem into the same
-    kernel: slab channels 4-6 carry a second grid field (no mass
-    channel), a second payload ref carries its (b2_eff, a2_cols), and
-    only its position cotangent dx2 is emitted — the expensive one-hot
-    factor build and xy products are shared between the two problems
-    (used by the step backward, where the p2g adjoint and the g2p
-    position adjoint are independent given the grid cotangent)."""
+def _make_gather_kernel(derivs: bool, inv_dx: float):
+    """Tap-gather kernel: one (C,)-chunk of particles reads its block
+    slab and contracts the 27 B-spline taps against the slab channels.
+    (A fused two-problem variant that shared the one-hot factor build
+    between the p2g adjoint and the g2p position adjoint was measured
+    on v5e and LOST — 14.6 vs 13.9 ms per 70³ step — so the backward
+    runs two single-problem passes.)"""
     dxc = 1.0 / inv_dx
 
-    def kernel(c2b_ref, p_ref, *rest):
-        if dual:
-            p2_ref, slab_ref, out_ref = rest
-        else:
-            slab_ref, out_ref = rest
+    def kernel(c2b_ref, p_ref, slab_ref, out_ref):
         C = p_ref.shape[0]
         f32 = jnp.float32
 
@@ -534,7 +526,7 @@ def _make_gather_kernel(derivs: bool, inv_dx: float, dual: bool = False):
             # the ((1,),(1,)) contraction silently ignores HIGHEST
             # precision on v5e (bf16 passes, ~4e-3 error after the
             # dpos cancellation).
-            n_ch = 8 if dual else 4
+            n_ch = 4
             slabT = slab_ref[0].reshape(n_ch * S * S, S).T
 
             idxS = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
@@ -713,55 +705,6 @@ def _make_gather_kernel(derivs: bool, inv_dx: float, dual: bool = False):
                     inv_dx * dxv[a] - inv_dx * minus
                 )[:, 0]
 
-            if not dual:
-                return
-
-            # ---- fused problem 2: dx2 against slab channels 4-6 ----
-            def col2(j):
-                return p2_ref[:, j][:, None]
-
-            rhs_s2 = [zslab(4 + r) for r in range(3)] * 2
-            rhs_a2 = [zslab(4 + r) for r in range(3)]
-
-            def smat2(zmat, zkmat):
-                return stack_dot(
-                    [col2(r) * zmat for r in range(3)]
-                    + [col2(3 + 3 * r + 2) * zkmat for r in range(3)],
-                    rhs_s2,
-                )
-
-            def amat2(cidx, zmat):
-                return stack_dot(
-                    [col2(3 + 3 * r + cidx) * zmat for r in range(3)],
-                    rhs_a2,
-                )
-
-            Smat2 = smat2(Z, Zk)
-            A0m2 = amat2(0, Z)
-            A1m2 = amat2(1, Z)
-            Smat2_d = smat2(Zd, Zdk)
-            A0m2d = amat2(0, Zd)
-            A1m2d = amat2(1, Zd)
-
-            dxv2 = [
-                rsum(xy_dx, Smat2) + rsum(xy_dix, A0m2)
-                + rsum(xy_dx_jy, A1m2),
-                rsum(xy_dy, Smat2) + rsum(xy_ix_dy, A0m2)
-                + rsum(xy_djy, A1m2),
-                rsum(xy, Smat2_d) + rsum(xy_ix, A0m2d)
-                + rsum(xy_jy, A1m2d),
-            ]
-            db2 = [red(xy, Tz, 4 + r) for r in range(3)]
-            for a in range(3):
-                minus2 = jnp.zeros((C, 1), f32)
-                for i2 in range(3):
-                    minus2 += col2(3 + 3 * i2 + a) * db2[i2]
-                out_ref[:, 16 + a] = (
-                    inv_dx * dxv2[a] - inv_dx * minus2
-                )[:, 0]
-            for j in range(19, _OUT_COLS_DUAL):
-                out_ref[:, j] = jnp.zeros((C,), f32)
-
     return kernel
 
 
@@ -780,7 +723,6 @@ def _unfold_axis(x: jnp.ndarray, nb: int) -> jnp.ndarray:
         x.shape[:-2] + (nb, B) + x.shape[-1:]
     )[..., :2, :]
     return jnp.concatenate([core, head], axis=-2)
-
 
 def unfold_blocks(
     grid_ch: jnp.ndarray, dims, nbs, ch_out: int = 4
@@ -897,122 +839,3 @@ def apic_gather_tpu(
     return dx, dgm, db, dA
 
 
-def run_apic_gather_dual(
-    payload: jnp.ndarray,
-    payload2: jnp.ndarray,
-    slabs: jnp.ndarray,
-    c2b: jnp.ndarray,
-    M: int,
-    inv_dx: float,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Fused two-problem tap gather: payload (M*C, 48) + payload2
-    (M*C, 16) against 8-channel slabs (NB, 8, S, S, S). Returns
-    (M*C, 32): problem-1 derivs at cols 0:16, problem-2 dx2 at 16:19."""
-    C = payload.shape[0] // M
-    kernel = _make_gather_kernel(True, inv_dx, dual=True)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(M,),
-        in_specs=[
-            pl.BlockSpec(
-                (C, _COLS), lambda i, c2b: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (C, _P2_COLS), lambda i, c2b: (i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 8, S, S, S),
-                lambda i, c2b: (c2b[i], 0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (C, _OUT_COLS_DUAL), lambda i, c2b: (i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((M * C, _OUT_COLS_DUAL), jnp.float32),
-        interpret=interpret,
-    )(c2b, payload, payload2, slabs)
-
-
-def pack_payload2(
-    constants: MPMConstants,
-    layout: ChunkLayout,
-    fx: jnp.ndarray,
-    b2: jnp.ndarray,
-    A2: jnp.ndarray,
-) -> jnp.ndarray:
-    """Second-problem payload: [0:3]=b2_eff, [3:12]=a2_cols, pad 16."""
-    n = fx.shape[0]
-    dtype = fx.dtype
-    dxc = constants.dx
-    b2_eff = b2 - jnp.einsum("nij,nj->ni", A2, fx) * dxc
-    a2_cols = (A2 * dxc).reshape(n, 9)
-    payload = jnp.concatenate(
-        [b2_eff, a2_cols, jnp.zeros((n, _P2_COLS - 12), dtype)], axis=1
-    )
-    return payload[layout.src] * layout.valid[:, None]
-
-
-def apic_dual_gather_tpu(
-    constants: MPMConstants,
-    x: jnp.ndarray,
-    gm: Optional[jnp.ndarray],
-    b: jnp.ndarray,
-    A: jnp.ndarray,
-    df: jnp.ndarray,
-    du: Optional[jnp.ndarray],
-    b2: jnp.ndarray,
-    A2: jnp.ndarray,
-    gv: jnp.ndarray,
-    interpret: bool = False,
-    sort: Optional[BlockSort] = None,
-    chunk: int = GATHER_CHUNK,
-    geom: Optional[GridGeom] = None,
-):
-    """Fused backward tap-gathers for one MPM step: problem 1 is the
-    p2g scatter adjoint (payload gm/b/A vs slab (df, du)), problem 2 is
-    the g2p position adjoint (payload (b2, A2) = (v-cot, kappa*C-cot)
-    vs slab gv = grid velocities). One kernel pass shares the one-hot
-    factor build. Returns (dx1, dgm, db, dA, dx2). ``chunk`` can be
-    lowered (e.g. 128) to halve the kernel's live VMEM."""
-    n = x.shape[0]
-    g = constants.num_grids
-    dims = (g, g, g) if geom is None else geom.dims
-    g3 = dims[0] * dims[1] * dims[2]
-    layout, bsort = _resolve_layout(constants, x, chunk, sort, geom)
-    payload = pack_payload(
-        constants, layout, bsort.fx, bsort.loc, gm, b, A
-    )
-    payload2 = pack_payload2(constants, layout, bsort.fx, b2, A2)
-    du_col = (
-        du[:, None] if du is not None
-        else jnp.zeros((g3, 1), x.dtype)
-    )
-    grid_ch = jnp.concatenate(
-        [df, du_col, gv, jnp.zeros((g3, 1), x.dtype)], axis=1
-    )
-    nbs = tuple(_cdiv(d, BLOCK) for d in dims)
-    slabs = unfold_blocks(grid_ch, dims, nbs, ch_out=8)
-    out = run_apic_gather_dual(
-        payload,
-        payload2,
-        slabs,
-        layout.c2b,
-        layout.c2b.shape[0],
-        float(constants.inv_dx),
-        interpret=interpret,
-    )
-    res = out[layout.dest]
-    dgm = res[:, 0] if du is not None else None
-    db = res[:, 1:4]
-    dA = res[:, 4:13].reshape(n, 3, 3)
-    dx1 = res[:, 13:16]
-    dx2 = res[:, 16:19]
-    return dx1, dgm, db, dA, dx2

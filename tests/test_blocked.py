@@ -185,45 +185,6 @@ def test_full_step_blocked_matches_matmul_grads():
         np.testing.assert_allclose(tb, tm, rtol=0, atol=5e-4 * scale)
 
 
-def test_dual_gather_matches_two_singles():
-    """Fused dual tap-gather kernel (interpret mode) == two single
-    gather calls for both problems."""
-    from neuma_tpu.sim.p2g_kernel import (
-        apic_dual_gather_tpu,
-        apic_gather_tpu,
-        block_sort,
-    )
-
-    rng = np.random.default_rng(7)
-    constants, statics, state, stress = _scene(g=33, n=700)
-    x, gm, b, A = _raw_inputs(constants, statics, state, stress)
-    g3 = constants.num_grids ** 3
-    df = jnp.asarray(rng.standard_normal((g3, 3)), jnp.float32) * 1e-2
-    du = jnp.asarray(rng.standard_normal((g3,)), jnp.float32) * 1e-2
-    gv = jnp.asarray(rng.standard_normal((g3, 3)), jnp.float32) * 1e-2
-    b2 = jnp.asarray(rng.standard_normal(b.shape), jnp.float32)
-    A2 = jnp.asarray(rng.standard_normal(A.shape), jnp.float32)
-    sort = block_sort(constants, x)
-
-    dx1, dgm, db, dA, dx2 = apic_dual_gather_tpu(
-        constants, x, gm, b, A, df, du, b2, A2, gv,
-        interpret=True, sort=sort,
-    )
-    r1 = apic_gather_tpu(
-        constants, x, gm, b, A, df, du, derivs=True,
-        interpret=True, sort=sort,
-    )
-    r2 = apic_gather_tpu(
-        constants, x, None, b2, A2, gv, None, derivs=True,
-        interpret=True, sort=sort,
-    )
-    np.testing.assert_allclose(dx1, r1[0], rtol=0, atol=1e-5)
-    np.testing.assert_allclose(dgm, r1[1], rtol=0, atol=1e-6)
-    np.testing.assert_allclose(db, r1[2], rtol=0, atol=1e-6)
-    np.testing.assert_allclose(dA, r1[3], rtol=0, atol=1e-6)
-    np.testing.assert_allclose(dx2, r2[0], rtol=0, atol=1e-5)
-
-
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_blocked_fuzz_random_sizes(seed):
     """Random particle counts / grid sizes (incl. awkward mod-BLOCK
