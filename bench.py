@@ -158,9 +158,11 @@ def run_scenario(name, p):
     weights = jnp.ones(frames, jnp.float32)
     init_v = jnp.asarray([0.3, 0.0, 0.0], jnp.float32)
 
+    gt = scene.gt_images
+
     grad_fn = jax.jit(
         jax.value_and_grad(
-            lambda a, b: loss_fn(a, b, init_v, weights),
+            lambda a, b, g: loss_fn(a, b, init_v, weights, gt_images=g),
             argnums=(0, 1),
             has_aux=True,
         )
@@ -168,7 +170,7 @@ def run_scenario(name, p):
 
     # Warmup / compile.
     t_c0 = time.perf_counter()
-    out = grad_fn(pe, pp)
+    out = grad_fn(pe, pp, gt)
     loss_val = float(out[0][0])
     print(
         f"[bench:{name}] compile+first step: "
@@ -179,7 +181,7 @@ def run_scenario(name, p):
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = grad_fn(pe, pp)
+        out = grad_fn(pe, pp, gt)
         _ = float(out[0][0])  # force sync (block_until_ready is a no-op
         #                       on the tunneled axon backend)
     elapsed = time.perf_counter() - t0

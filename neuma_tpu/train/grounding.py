@@ -232,7 +232,15 @@ def make_rollout_loss(scene: GroundingScene) -> Callable:
             refresh_step_layouts,
         )
 
-    def loss_fn(params_e, params_p, init_v, frame_weights):
+    def loss_fn(params_e, params_p, init_v, frame_weights,
+                gt_images=None):
+        # GT frames default to the scene closure for convenience, but
+        # trainers pass them explicitly: a closure-captured frame stack
+        # becomes an HLO *constant* (e.g. ~768 MB at 100x800^2x3), which
+        # bloats every compile and overflows the remote-compile tunnel's
+        # request limit at realistic scales.
+        if gt_images is None:
+            gt_images = scene.gt_images
         v0 = jnp.broadcast_to(
             jnp.reshape(init_v, (-1, 3)), (n_particles, 3)
         )
@@ -335,7 +343,7 @@ def make_rollout_loss(scene: GroundingScene) -> Callable:
             jax.lax.scan(
                 jax.checkpoint(frame_body, policy=policy),
                 carry,
-                (scene.gt_images, frame_weights, excluded),
+                (gt_images, frame_weights, excluded),
             )
         )
         return jnp.sum(frame_losses), {
@@ -422,10 +430,14 @@ def optimize_init_velocity(
     opt = radam(schedule)
     opt_state = opt.init(init_v)
 
+    gt_images = jnp.asarray(scene.gt_images)
+
     @jax.jit
-    def epoch_step(init_v, opt_state, reg_weight):
+    def epoch_step(init_v, opt_state, reg_weight, gt):
         def total_loss(iv):
-            loss_rgb, aux = loss_fn(params_e, params_p, iv, weights)
+            loss_rgb, aux = loss_fn(
+                params_e, params_p, iv, weights, gt_images=gt
+            )
             if reg_all:
                 reg = jnp.mean(jnp.abs(iv))
             else:
@@ -452,7 +464,7 @@ def optimize_init_velocity(
             else 0.0
         )
         init_v, opt_state, loss, loss_rgb, aux = epoch_step(
-            init_v, opt_state, jnp.float32(reg_w)
+            init_v, opt_state, jnp.float32(reg_w), gt_images
         )
         _raise_on_overflow(aux, f"velocity epoch {epoch}")
         losses.append(float(loss))
@@ -554,14 +566,16 @@ def finetune_constitutive(
     e_max_norm = float(cfg.get("elasticity_grad_max_norm", 1.0))
     p_max_norm = float(cfg.get("plasticity_grad_max_norm", 1.0))
 
+    gt_images = jnp.asarray(scene.gt_images)
+
     @jax.jit
-    def epoch_step(params_e, params_p, e_state, p_state, decay_rate):
+    def epoch_step(params_e, params_p, e_state, p_state, decay_rate, gt):
         weights = rollout_decay_weights(
             scene.num_frames, decay_rate, decay_steps
         )
 
         def total(pe, pp):
-            return loss_fn(pe, pp, init_v, weights)
+            return loss_fn(pe, pp, init_v, weights, gt_images=gt)
 
         (loss, aux), (ge, gp) = jax.value_and_grad(
             total, argnums=(0, 1), has_aux=True
@@ -598,7 +612,8 @@ def finetune_constitutive(
             bad,
             aux,
         ) = epoch_step(
-            params_e, params_p, e_state, p_state, jnp.float32(decay_rate)
+            params_e, params_p, e_state, p_state,
+            jnp.float32(decay_rate), gt_images,
         )
         if bool(bad):
             raise NonFiniteGradientError(
