@@ -9,6 +9,14 @@ Design notes
   as nine (N,) component arrays so every op is a full-lane VPU op over
   the batch dim (trailing size-3 dims would waste 125/128 lanes). Fixed
   sweep count, no data-dependent control flow.
+* Component API (``svd3c``): takes/returns *flat row-major component
+  tuples* of (N,) arrays instead of (N, 3, 3) tensors. On TPU an
+  f32[N,3,3] array is tiled T(4,128) — 9 of 512 tile slots used — so
+  every op touching it pays ~50x its natural bandwidth (measured: the
+  material-layer backward was ~14 ms/substep of such ops at 30k
+  particles). The component form keeps the whole SVD and its adjoint
+  in full-lane (N,) fusions; ``svd3`` packs/unpacks only at the API
+  boundary for callers that want tensors.
 * Sign convention matches the reference (``svd.py:76-92``): ``det(U) > 0``
   and ``det(V) > 0`` are enforced by flipping the third column of U/V and
   the sign of ``sigma[2]``. Singular values are sorted by magnitude
@@ -17,10 +25,10 @@ Design notes
   ``1/(s_j^2 - s_i^2)`` denominators so near-degenerate singular values
   produce large-but-finite gradients (the reference relies on Warp's svd3
   adjoint plus NaN scrubbing downstream; we keep the scrub in the sim's
-  VJP as well for parity).
+  VJP as well for parity). The adjoint is likewise fully scalarized.
 
-Returns (U, sigma, Vh) with shapes (..., 3, 3), (..., 3), (..., 3, 3) such
-that ``A == U @ diag(sigma) @ Vh``.
+``svd3`` returns (U, sigma, Vh) with shapes (..., 3, 3), (..., 3),
+(..., 3, 3) such that ``A == U @ diag(sigma) @ Vh``.
 """
 from __future__ import annotations
 
@@ -30,12 +38,15 @@ import jax.numpy as jnp
 _JACOBI_SWEEPS = 6  # 3 pairs/sweep; 6 sweeps converges f32 for well-scaled F
 
 
-def _svd3_fwd_impl(A: jnp.ndarray, sweeps: int = _JACOBI_SWEEPS):
-    orig_dtype = A.dtype
-    A = A.astype(jnp.float32)
+def _svd3_core(b, sweeps: int = _JACOBI_SWEEPS):
+    """One-sided Jacobi on column-major component lists.
 
-    # Columns as lists of 3 scalar (batch-shaped) arrays.
-    b = [[A[..., r, c] for r in range(3)] for c in range(3)]
+    ``b[c][r]`` = A[r, c] as (N,) arrays (f32). Returns ``(u, sig, v)``
+    in the same column-major nested-list form: ``u[c]``/``v[c]`` are the
+    columns of U/V, ``sig[c]`` the signed singular values (descending by
+    magnitude, reflection sign on ``sig[2]``).
+    """
+    b = [[x for x in col] for col in b]
     one = jnp.ones_like(b[0][0])
     zero = jnp.zeros_like(b[0][0])
     v = [
@@ -121,58 +132,131 @@ def _svd3_fwd_impl(A: jnp.ndarray, sweeps: int = _JACOBI_SWEEPS):
             cols[2][r] = cols[2][r] * sgn
         sig[2] = sig[2] * sgn
 
-    U = jnp.stack(
-        [jnp.stack([u[c][r] for c in range(3)], axis=-1) for r in range(3)],
-        axis=-2,
-    )
-    Vh = jnp.stack(
-        [jnp.stack([v[c][r] for r in range(3)], axis=-1) for c in range(3)],
-        axis=-2,
-    )
-    s = jnp.stack(sig, axis=-1)
-    return (
-        U.astype(orig_dtype),
-        s.astype(orig_dtype),
-        Vh.astype(orig_dtype),
-    )
+    return u, sig, v
+
+
+def _svd3c_fwd_impl(F9):
+    """Row-major 9-tuple of (N,) f32 -> (u9, s3, vh9) row-major tuples:
+    ``u9[3r+c] = U[r,c]``, ``vh9[3i+j] = Vh[i,j]``."""
+    # column-major lists for the core: b[c][r] = A[r, c] = F9[3r+c]
+    b = [[F9[3 * r + c] for r in range(3)] for c in range(3)]
+    u, sig, v = _svd3_core(b)
+    u9 = tuple(u[c][r] for r in range(3) for c in range(3))
+    s3 = tuple(sig)
+    # Vh[i, j] = V[j, i] = v[i][j]
+    vh9 = tuple(v[i][j] for i in range(3) for j in range(3))
+    return u9, s3, vh9
 
 
 @jax.custom_vjp
-def svd3(A: jnp.ndarray):
-    """Batched signed 3x3 SVD: A = U @ diag(sigma) @ Vh with det(U) > 0,
-    det(V) > 0 (sigma[2] carries reflection sign)."""
-    return _svd3_fwd_impl(A)
+def svd3c(F9):
+    """Component-form batched signed 3x3 SVD.
+
+    ``F9`` is a row-major 9-tuple of identically-shaped f32 arrays
+    (``F9[3r+c] = A[..., r, c]``). Returns ``(u9, s3, vh9)`` row-major
+    component tuples with the same convention as :func:`svd3`. Runs
+    entirely on full-lane batch-shaped arrays — the production path for
+    the material layer.
+    """
+    return _svd3c_fwd_impl(F9)
 
 
-def _svd3_fwd(A):
-    out = _svd3_fwd_impl(A)
+def _svd3c_fwd(F9):
+    out = _svd3c_fwd_impl(F9)
     return out, out
 
 
-def _svd3_bwd(res, cots):
-    U, s, Vh = res
-    dU, ds, dVh = cots
-    V = jnp.swapaxes(Vh, -1, -2)
-    dV = jnp.swapaxes(dVh, -1, -2)
+def _svd3c_bwd(res, cots):
+    u9, s3, vh9 = res
+    du9, ds3, dvh9 = cots
 
-    # F_ij = 1 / (s_j^2 - s_i^2), i != j, clamped for near-degenerate pairs.
-    s2 = s * s
-    diff = s2[..., None, :] - s2[..., :, None]  # (..., i, j) = s_j^2 - s_i^2
+    def U(r, c):
+        return u9[3 * r + c]
+
+    def dU(r, c):
+        return du9[3 * r + c]
+
+    def Vh(i, j):
+        return vh9[3 * i + j]
+
+    def dVh(i, j):
+        return dvh9[3 * i + j]
+
+    zero = jnp.zeros_like(s3[0])
+    du_ = [
+        [dU(r, c) if du9[3 * r + c] is not None else zero
+         for c in range(3)] for r in range(3)
+    ]
+    dvh_ = [
+        [dVh(i, j) if dvh9[3 * i + j] is not None else zero
+         for j in range(3)] for i in range(3)
+    ]
+    ds_ = [d if d is not None else zero for d in ds3]
+
+    # F_ij = 1 / (s_j^2 - s_i^2), i != j, clamped for near-degenerate
+    # pairs (same clamp as the tensor-form adjoint had).
+    s2 = [s * s for s in s3]
     eps = 1e-10
-    Fm = jnp.sign(diff) / jnp.maximum(jnp.abs(diff), eps)
-    eye = jnp.eye(3, dtype=s.dtype)
-    Fm = Fm * (1.0 - eye)
 
-    Ut_dU = jnp.swapaxes(U, -1, -2) @ dU
-    Vt_dV = jnp.swapaxes(V, -1, -2) @ dV
+    def Fm(i, j):
+        diff = s2[j] - s2[i]
+        return jnp.sign(diff) / jnp.maximum(jnp.abs(diff), eps)
 
-    J = Fm * (Ut_dU - jnp.swapaxes(Ut_dU, -1, -2))
-    K = Fm * (Vt_dV - jnp.swapaxes(Vt_dV, -1, -2))
+    # UtdU[i][j] = sum_r U[r,i] dU[r,j];  VtdV[i][j] = sum_r Vh[i,r] dVh[j,r]
+    UtdU = [
+        [sum(U(r, i) * du_[r][j] for r in range(3)) for j in range(3)]
+        for i in range(3)
+    ]
+    VtdV = [
+        [sum(Vh(i, r) * dvh_[j][r] for r in range(3)) for j in range(3)]
+        for i in range(3)
+    ]
 
-    S = s[..., None, :] * eye  # diag(s)
-    inner = J @ S + S @ K + ds[..., None, :] * eye
-    dA = U @ inner @ Vh
-    return (dA,)
+    inner = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(3):
+            if i == j:
+                inner[i][j] = ds_[i]
+            else:
+                f = Fm(i, j)
+                J = f * (UtdU[i][j] - UtdU[j][i])
+                K = f * (VtdV[i][j] - VtdV[j][i])
+                inner[i][j] = J * s3[j] + s3[i] * K
+
+    # dA[r, c] = sum_{i,j} U[r,i] inner[i][j] Vh[j,c]
+    dA9 = []
+    for r in range(3):
+        for c in range(3):
+            acc = zero
+            for i in range(3):
+                for j in range(3):
+                    acc = acc + U(r, i) * inner[i][j] * Vh(j, c)
+            dA9.append(acc)
+    return (tuple(dA9),)
 
 
-svd3.defvjp(_svd3_fwd, _svd3_bwd)
+svd3c.defvjp(_svd3c_fwd, _svd3c_bwd)
+
+
+def unpack33(A):
+    """(..., 3, 3) -> row-major 9-tuple of (...,) f32 components."""
+    A9 = A.astype(jnp.float32).reshape(A.shape[:-2] + (9,))
+    return tuple(A9[..., k] for k in range(9))
+
+
+def pack33(c9, dtype=None):
+    """Row-major 9-tuple of (...,) components -> (..., 3, 3)."""
+    out = jnp.stack(c9, axis=-1).reshape(c9[0].shape + (3, 3))
+    return out if dtype is None else out.astype(dtype)
+
+
+def svd3(A: jnp.ndarray):
+    """Batched signed 3x3 SVD: A = U @ diag(sigma) @ Vh with det(U) > 0,
+    det(V) > 0 (sigma[2] carries reflection sign). Tensor-form wrapper
+    around :func:`svd3c` (gradients flow through its scalarized VJP)."""
+    orig_dtype = A.dtype
+    u9, s3, vh9 = svd3c(unpack33(A))
+    U = pack33(u9, orig_dtype)
+    s = jnp.stack(s3, axis=-1).astype(orig_dtype)
+    Vh = pack33(vh9, orig_dtype)
+    return U, s, Vh
