@@ -1,0 +1,54 @@
+"""Parity of the Pallas sim kernels vs the jnp blocked/tap paths on the
+real TPU (run after any kernel change), at the realworld 30k/70^3 shape."""
+import sys as _sys
+from pathlib import Path as _P
+_sys.path.insert(0, str(_P(__file__).resolve().parents[2]))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from neuma_tpu.core.types import MPMConstants
+from neuma_tpu.sim.blocked import _apic_bwd_jnp, _blocked_forward
+from neuma_tpu.sim.p2g_kernel import apic_gather_tpu, p2g_blocked_pallas
+
+rng = np.random.default_rng(0)
+n, g = 30_000, 70
+constants = MPMConstants(
+    num_grids=g, bound=1, bc="noslip", dt=jnp.float32(1e-3),
+    gravity=jnp.asarray([0, -9.8, 0], jnp.float32), eps=jnp.float32(6e-7),
+)
+x = jnp.asarray((0.3 + 0.4 * rng.random((n, 3))).astype(np.float32))
+gm = jnp.abs(jnp.asarray(rng.standard_normal((n,)), jnp.float32))
+b = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+A = jnp.asarray(rng.standard_normal((n, 3, 3)), jnp.float32)
+df = jnp.asarray(rng.standard_normal((g ** 3, 3)), jnp.float32)
+du = jnp.asarray(rng.standard_normal((g ** 3,)), jnp.float32)
+
+
+def rel(a, bb):
+    a, bb = np.asarray(a), np.asarray(bb)
+    d = np.abs(a - bb).max()
+    s = np.abs(bb).max() + 1e-30
+    return d / s
+
+
+# forward scatter
+m1, f1 = jax.jit(lambda: p2g_blocked_pallas(constants, x, gm, b, A))()
+m2, f2 = jax.jit(lambda: _blocked_forward(constants, x, gm, b, A))()
+print(f"scatter fwd rel err: m {rel(m1, m2):.3e}  f {rel(f1, f2):.3e}")
+
+# gather (derivs)
+o1 = jax.jit(
+    lambda: apic_gather_tpu(constants, x, gm, b, A, df, du, derivs=True)
+)()
+o2 = jax.jit(lambda: _apic_bwd_jnp(constants, x, gm, b, A, du, df))()
+names = ["dx", "dgm", "db", "dA"]
+for nme, a, bb in zip(names, o1, o2):
+    print(f"gather {nme:3s} rel err: {rel(a, bb):.3e}")
+
+ok = (
+    rel(m1, m2) < 2e-6 and rel(f1, f2) < 2e-6
+    and all(rel(a, bb) < 5e-5 for a, bb in zip(o1, o2))
+)
+print("PARITY", "OK" if ok else "FAIL")
