@@ -47,7 +47,7 @@ cfg = RasterConfig(max_pairs=1 << 16, max_per_tile=512)
 x = jnp.asarray(pts)
 
 depth, vis, m2d, conic, radius = jax.jit(lambda m: _project(m, cov, cam))(x)
-pair_gid, pair_valid, tile_start, tiles_x, tiles_y, ovf = jax.jit(
+pair_gid, pair_valid, tile_start, tiles_x, tiles_y, ovf, _ = jax.jit(
     lambda d, v, m2, r: _build_aligned_pairs(
         d, v, m2, r, cam.width, cam.height, cfg
     )

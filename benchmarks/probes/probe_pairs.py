@@ -113,7 +113,7 @@ for mp in (1 << 16, 1 << 18):
             )
             if upto == 3:
                 return (tile_id,)
-            sorted_tile, sorted_gid = _sort_pairs_by_tile(
+            sorted_tile, sorted_gid, _ = _sort_pairs_by_tile(
                 tile_id, gid_c, num_tiles, cfg.max_pairs
             )
             if upto == 4:

@@ -203,7 +203,7 @@ def main(argv=None):
 
     def pair_body(m):
         depth, vis, m2d, conic, radius = _project(m, cov, cam)
-        pg, valid, ts, tx, ty, ovf = _build_aligned_pairs(
+        pg, valid, ts, tx, ty, ovf, _ = _build_aligned_pairs(
             depth, vis, m2d, radius, cam.width, cam.height, cfg
         )
         return (m + 1e-12 * pg[0],)

@@ -68,12 +68,22 @@ class RasterConfig:
     # 'auto': Pallas kernels on TPU, jnp composite elsewhere.
     # 'jnp' | 'pallas' | 'pallas_interpret' force a backend.
     backend: str = "auto"
+    # Transpose of the per-pair feature gather (Pallas backend):
+    # * 'scatter' — AD's (P, 9) scatter-add into per-gaussian rows.
+    # * 'segsum'  — segmented-doubling reduction over the contiguous
+    #   per-gaussian pair runs of the pre-binned layout (exact tree
+    #   sums, no scatter-add in the backward; the builder pays one
+    #   int32 permutation scatter in the forward, saved under the
+    #   'raster_pairs' remat policy).
+    pair_grad: str = "scatter"
     # Pair binning strategy: 'counting' (two-level counting sort —
     # short row-local sorts + prefix sums + direct placement, breaking
     # the O(max_pairs log max_pairs) global-sort floor) or 'sort' (one
     # packed-key bitonic sort over the full budget). Both produce
-    # identical tile lists.
-    pair_binning: str = "counting"
+    # identical tile lists. 'auto' picks by budget: counting wins below
+    # 1<<17 on v5e, the global packed sort above (measured round 3 —
+    # the counting binner's placement scatter loses at big budgets).
+    pair_binning: str = "auto"
     # Optional image-tile sharding (jnp backend): a
     # jax.sharding.NamedSharding whose PartitionSpec names the mesh axis
     # to split the tile dimension over — tiles composite independently,
@@ -217,7 +227,7 @@ def _sort_pairs_by_tile(tile_id, gid_c, num_tiles, max_pairs):
         pair_order = jnp.argsort(tile_id, stable=True)
         sorted_tile = tile_id[pair_order]
     sorted_gid = gid_c[pair_order]
-    return sorted_tile, sorted_gid
+    return sorted_tile, sorted_gid, pair_order
 
 
 PAIR_SEG = 512  # row length for the two-level counting sort
@@ -229,6 +239,15 @@ def _counting_ok(max_pairs: int) -> bool:
     the global sort."""
     seg = min(PAIR_SEG, max_pairs)
     return seg > 0 and (seg & (seg - 1)) == 0 and max_pairs % seg == 0
+
+
+def _use_counting(cfg: "RasterConfig") -> bool:
+    """Resolve the pair-binning strategy (see RasterConfig)."""
+    if not _counting_ok(cfg.max_pairs):
+        return False
+    if cfg.pair_binning == "auto":
+        return cfg.max_pairs < (1 << 17)
+    return cfg.pair_binning == "counting"
 
 
 def _pair_slots(tile_id, num_tiles, max_pairs):
@@ -419,7 +438,7 @@ def _build_tile_lists(
         pair_idx, x0p, y0p, twp, pair_start, valid_pair, tiles_x, num_tiles
     )
 
-    if cfg.pair_binning == "counting" and _counting_ok(cfg.max_pairs):
+    if _use_counting(cfg):
         # counts -> prefix -> direct placement: scatter each pair's
         # gaussian id straight to its (tile, depth-slot) matrix cell.
         orig, st, slot, counts_d = _pair_slots(
@@ -439,7 +458,7 @@ def _build_tile_lists(
             .reshape(num_tiles, cfg.max_per_tile)
         )
     else:
-        sorted_tile, sorted_gid = _sort_pairs_by_tile(
+        sorted_tile, sorted_gid, _ = _sort_pairs_by_tile(
             tile_id, pair_orig, num_tiles, cfg.max_pairs
         )
 
@@ -504,16 +523,14 @@ def _build_aligned_pairs(
         pair_idx, x0p, y0p, twp, pair_start, valid_pair, tiles_x, num_tiles
     )
 
-    counting = cfg.pair_binning == "counting" and _counting_ok(
-        cfg.max_pairs
-    )
+    counting = _use_counting(cfg)
     if counting:
         orig, st, slot, counts_d = _pair_slots(
             tile_id, num_tiles, cfg.max_pairs
         )
         counts = counts_d[:num_tiles]
     else:
-        sorted_tile, sorted_gid = _sort_pairs_by_tile(
+        sorted_tile, sorted_gid, pair_order = _sort_pairs_by_tile(
             tile_id, pair_orig, num_tiles, cfg.max_pairs
         )
         raw_start = _tile_starts(sorted_tile, pair_idx, num_tiles)
@@ -579,7 +596,107 @@ def _build_aligned_pairs(
     in_tile = checkpoint_name(in_tile, "raster_pairs")
     tile_start = checkpoint_name(tile_start, "raster_pairs")
     overflow = offsets[-1] > cfg.max_pairs
-    return pair_gid, in_tile, tile_start, tiles_x, tiles_y, overflow
+
+    glue = None
+    if cfg.pair_grad == "segsum":
+        # Backward-glue layout for the segmented-reduction transpose of
+        # the pair-feature gather (see _gather_pair_feats): the final
+        # slot of each ORIGINAL pair (P for dropped/invalid — points at
+        # a zero pad row), the per-pair run id (the run-filled start is
+        # constant within and unique across runs), the per-sorted-
+        # gaussian run bounds, and the inverse depth permutation. All
+        # integer, all forward-only, all saved under 'raster_pairs'.
+        if counting:
+            final_of_orig = (
+                jnp.zeros((cfg.max_pairs,), jnp.int32).at[orig].set(dest)
+            )
+        else:
+            valid_s = sorted_tile < num_tiles
+            ts_c = jnp.minimum(sorted_tile, num_tiles - 1)
+            pos_s = jnp.where(
+                valid_s,
+                tile_start[ts_c] + (pair_idx - raw_start[ts_c]),
+                P,
+            )
+            final_of_orig = (
+                jnp.zeros((cfg.max_pairs,), jnp.int32)
+                .at[pair_order]
+                .set(pos_s)
+            )
+        inv_order = (
+            jnp.zeros((n,), jnp.int32)
+            .at[order]
+            .set(jnp.arange(n, dtype=jnp.int32))
+        )
+        glue = tuple(
+            checkpoint_name(a, "raster_pairs")
+            for a in (final_of_orig, pair_start, starts, offsets, inv_order)
+        )
+    return pair_gid, in_tile, tile_start, tiles_x, tiles_y, overflow, glue
+
+
+@jax.custom_vjp
+def _gather_pair_feats(feats, pair_gid, glue):
+    """``feats[pair_gid]`` with a scatter-free transpose.
+
+    AD's transpose of the (P, 9) pair-feature gather is a scatter-add
+    into the (N, 9) per-gaussian rows — the dominant glue cost of the
+    render backward at large pair budgets. This custom VJP instead maps
+    the pair cotangents back to the PRE-BINNED layout (where each
+    gaussian's pairs form one contiguous run) with a single gather, then
+    reduces each run with a segmented Hillis-Steele doubling (exact tree
+    sums — no prefix-difference cancellation), and un-permutes the
+    depth sort with a final (N, 9) gather. ``glue`` comes from
+    ``_build_aligned_pairs`` (cfg.pair_grad == 'segsum')."""
+    del glue
+    return feats[pair_gid]
+
+
+def _gather_pair_feats_fwd(feats, pair_gid, glue):
+    return feats[pair_gid], (feats.shape, pair_gid, glue)
+
+
+def _gather_pair_feats_bwd(res, d_pf):
+    (n, ch), pair_gid, glue = res[0], res[1], res[2]
+    final_of_orig, run_id, g_starts, g_ends, inv_order = glue
+    max_pairs = final_of_orig.shape[0]
+
+    # Pair cotangents in pre-binned (per-gaussian contiguous) layout;
+    # dropped/invalid pairs point at the zero pad row.
+    d_pad = jnp.concatenate(
+        [d_pf, jnp.zeros((1, ch), d_pf.dtype)], axis=0
+    )
+    s = d_pad[final_of_orig]  # (max_pairs, ch)
+
+    # Segmented suffix doubling: after the loop, s[i] holds the tree sum
+    # of its run's elements from i to the run end, so s[run start] is
+    # the full per-gaussian sum. Trailing garbage "runs" past the live
+    # prefix only ever add zero rows (their final_of_orig is P).
+    step = 1
+    while step < max_pairs:
+        s_shift = jnp.concatenate(
+            [s[step:], jnp.zeros((step, ch), s.dtype)], axis=0
+        )
+        r_shift = jnp.concatenate(
+            [run_id[step:], jnp.full((step,), -1, run_id.dtype)]
+        )
+        s = s + jnp.where((run_id == r_shift)[:, None], s_shift, 0.0)
+        step *= 2
+
+    live = (g_ends > g_starts) & (g_starts < max_pairs)
+    sums = s[jnp.clip(g_starts, 0, max_pairs - 1)]
+    sums = jnp.where(live[:, None], sums, 0.0)
+    d_feats = sums[inv_order]
+
+    zero_int = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (
+        d_feats,
+        zero_int(pair_gid),
+        jax.tree_util.tree_map(zero_int, glue),
+    )
+
+
+_gather_pair_feats.defvjp(_gather_pair_feats_fwd, _gather_pair_feats_bwd)
 
 
 def _composite(
@@ -780,18 +897,24 @@ def rasterize_with_aux(
 
         (
             pair_gid, pair_valid, tile_start, tiles_x, tiles_y, overflow,
+            glue,
         ) = _build_aligned_pairs(
             depth, visible, mean2d, radius, camera.width, camera.height,
             cfg,
         )
         # Differentiable gather: its transpose scatter-adds the pair
-        # gradients from the Pallas backward into per-gaussian grads.
-        # Packing the 9 feature channels first makes that ONE (P, 9)
-        # gather/scatter pair instead of four.
+        # gradients from the Pallas backward into per-gaussian grads
+        # (or, with pair_grad='segsum', runs the scatter-free segmented
+        # reduction — see _gather_pair_feats). Packing the 9 feature
+        # channels first makes that ONE (P, 9) gather/scatter pair
+        # instead of four.
         feats = jnp.concatenate(
             [mean2d, conic, opacity[:, None], colors], axis=1
         )
-        pf = feats[pair_gid]
+        if glue is not None:
+            pf = _gather_pair_feats(feats, pair_gid, glue)
+        else:
+            pf = feats[pair_gid]
         pair_mean2d = pf[:, 0:2]
         pair_conic = pf[:, 2:5]
         pair_opacity = jnp.where(pair_valid, pf[:, 5], 0.0)

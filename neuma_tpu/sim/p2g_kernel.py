@@ -34,9 +34,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.types import GridGeom, MPMConstants
 
+import os as _os
+
 BLOCK = 14
 S = BLOCK + 2  # 16: padded block side; S^2 = 256 lanes, power of two
-CHUNK = 512
+# Chunk sizes trade padding waste (every nonempty block pads its last
+# chunk: expected waste ~ NB * C / 2 slots) against per-chunk fixed
+# costs; env-tunable for hardware A/B (measured defaults below).
+CHUNK = int(_os.environ.get("NEUMA_SCATTER_CHUNK", "512"))
 
 # payload column layout (44 used, padded to 48)
 _W0 = 0        # 9: spline weights, 3 taps x 3 axes (x taps 0-2, y 3-5, z 6-8)
@@ -687,13 +692,12 @@ def _make_gather_kernel(derivs: bool, inv_dx: float):
             def rsum(xy_f, mat):
                 return jnp.sum(xy_f * mat, axis=1, keepdims=True)
 
+            # one cross-lane reduction per deriv axis (the three terms
+            # combine elementwise before the rowsum)
             dxv = [
-                rsum(xy_dx, Smat) + rsum(xy_dix, A0m)
-                + rsum(xy_dx_jy, A1m),
-                rsum(xy_dy, Smat) + rsum(xy_ix_dy, A0m)
-                + rsum(xy_djy, A1m),
-                rsum(xy, Smat_d) + rsum(xy_ix, A0md)
-                + rsum(xy_jy, A1md),
+                rsum(xy_dx * Smat + xy_dix * A0m + xy_dx_jy * A1m, 1.0),
+                rsum(xy_dy * Smat + xy_ix_dy * A0m + xy_djy * A1m, 1.0),
+                rsum(xy * Smat_d + xy_ix * A0md + xy_jy * A1md, 1.0),
             ]
 
             for a in range(3):
@@ -793,7 +797,8 @@ def run_apic_gather(
     return out
 
 
-GATHER_CHUNK = 256  # smaller chunk: the derivs kernel holds ~30 (C, S^2) live
+# smaller chunk: the derivs kernel holds ~30 (C, S^2) live
+GATHER_CHUNK = int(_os.environ.get("NEUMA_GATHER_CHUNK", "256"))
 
 
 def apic_gather_tpu(

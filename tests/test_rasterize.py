@@ -306,7 +306,7 @@ def test_builders_agree_at_realcapture_resolution():
     tile_mat, tiles_x, tiles_y, ovf1 = jax.jit(
         lambda *a: _build_tile_lists(*a, w, h, cfg)
     )(depth, vis, m2d, radius)
-    pair_gid, pair_valid, tile_start, tx2, ty2, ovf2 = jax.jit(
+    pair_gid, pair_valid, tile_start, tx2, ty2, ovf2, _ = jax.jit(
         lambda *a: _build_aligned_pairs(*a, w, h, cfg)
     )(depth, vis, m2d, radius)
     assert (tiles_x, tiles_y) == (tx2, ty2) == (120, 68)
@@ -379,7 +379,7 @@ def test_builders_agree_fuzz(seed):
         tile_mat, tiles_x, tiles_y, ovf1 = jax.jit(
             lambda *a: _build_tile_lists(*a, w, h, cfg)
         )(depth, vis, m2d, radius)
-        pair_gid, pair_valid, tile_start, _, _, ovf2 = jax.jit(
+        pair_gid, pair_valid, tile_start, _, _, ovf2, _ = jax.jit(
             lambda *a: _build_aligned_pairs(*a, w, h, cfg)
         )(depth, vis, m2d, radius)
         assert bool(ovf2) == expect_ovf, (max_pairs, total)
@@ -466,3 +466,64 @@ def test_counting_binner_matches_sort_binner(seed):
                 err_msg=f"{name} (budget {max_pairs})",
             )
         assert bool(al["counting"][5]) == bool(al["sort"][5])
+
+
+@pytest.mark.parametrize("binning", ["counting", "sort"])
+def test_segsum_pair_grad_matches_scatter(binning):
+    """pair_grad='segsum' (scatter-free segmented-reduction transpose of
+    the pair-feature gather) produces the same gradients as AD's
+    scatter-add transpose, through the full Pallas-layout render, for
+    both pair-binning strategies."""
+    from neuma_tpu.render.camera import Camera
+    from neuma_tpu.render.gaussians import create_from_points
+    from neuma_tpu.render.rasterize import RasterConfig, rasterize
+
+    r = np.random.default_rng(7)
+    n, img = 300, 64
+    pts = (0.4 + 0.2 * r.random((n, 3))).astype(np.float32)
+    pack = create_from_points(
+        pts, r.random((n, 3)).astype(np.float32), sh_degree=0
+    )
+    cam = Camera.look_at(
+        eye=np.array([0.5, 0.55, -1.6]),
+        target=np.array([0.5, 0.5, 0.5]),
+        fov=0.8,
+        width=img,
+        height=img,
+    )
+    cov = pack.get_covariance()
+    opac = pack.get_opacity
+    x = jnp.asarray(pts)
+    bg = jnp.zeros(3)
+    cp = jnp.ones((n, 3), jnp.float32)
+
+    def make(pair_grad):
+        cfg = RasterConfig(
+            max_pairs=1 << 11,
+            max_per_tile=256,
+            backend="pallas_interpret",
+            pair_grad=pair_grad,
+            pair_binning=binning,
+        )
+
+        def loss(m, csc, osc, col):
+            im = rasterize(
+                m, cov * csc, opac * osc, cam, bg,
+                colors_precomp=cp * col, cfg=cfg,
+            )
+            return jnp.sum(im ** 2)
+
+        return loss
+
+    args = (x, jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0))
+    v1, g1 = jax.value_and_grad(make("scatter"), argnums=(0, 1, 2, 3))(
+        *args
+    )
+    v2, g2 = jax.value_and_grad(make("segsum"), argnums=(0, 1, 2, 3))(
+        *args
+    )
+    assert np.allclose(float(v1), float(v2), rtol=0, atol=0)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-6, atol=1e-5
+        )
