@@ -34,7 +34,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 16
 PIX = TILE * TILE  # 256
-CHUNK = 32  # pairs per DMA'd block
+import os as _os
+
+# Pairs per DMA'd block. Tile ranges are CHUNK-aligned, so the
+# alignment padding adds up to CHUNK-1 slots per nonempty tile — at
+# dense-view workloads (~32 live pairs/tile at 3x1080p) CHUNK=32
+# doubles the kernel's slot count, so the knob matters; env-tunable
+# for hardware A/B.
+CHUNK = int(_os.environ.get("NEUMA_RASTER_CHUNK", "32"))
 GROUP = 8  # tiles per grid step (sublane divisibility)
 PAIR_W = 128  # packed pair feature width (padded to the TPU lane tile):
 # [0]=mean2d.x [1]=mean2d.y [2]=conic.a [3]=conic.b [4]=conic.c

@@ -150,27 +150,40 @@ def _project(
     tx = txtz * tz
     ty = tytz * tz
 
-    zero = jnp.zeros_like(tz)
-    J = jnp.stack(
-        [
-            jnp.stack([focal_x / tz, zero, -(focal_x * tx) / (tz * tz)], -1),
-            jnp.stack([zero, focal_y / tz, -(focal_y * ty) / (tz * tz)], -1),
-        ],
-        axis=-2,
-    )  # (N, 2, 3)
+    # J rows as (N,) lanes (avoids materializing (N, 2, 3) stacks and
+    # batched tiny matmuls — scalarized EWA keeps everything in fused
+    # full-lane elementwise ops, like the sim's material layer).
+    j00 = focal_x / tz
+    j02 = -(focal_x * tx) / (tz * tz)
+    j11 = focal_y / tz
+    j12 = -(focal_y * ty) / (tz * tz)
 
     # World->camera rotation: p_cam = p @ world_view[:3,:3] (row-vector
     # convention) => column-vector R_wc = world_view[:3,:3]^T.
     W = camera.world_view[:3, :3].T  # (3, 3)
-    Vrk = unstrip_symmetric(cov3d)  # (N, 3, 3)
-    T = J @ W  # (N, 2, 3)
-    cov2d = T @ Vrk @ jnp.swapaxes(T, -1, -2)  # (N, 2, 2)
-    # Low-pass filter: each splat is at least ~1px wide (CUDA +0.3).
-    cov2d = cov2d + 0.3 * jnp.eye(2, dtype=cov2d.dtype)
+    # T = J @ W with J = [[j00, 0, j02], [0, j11, j12]]:
+    #   T[0, c] = j00 W[0, c] + j02 W[2, c]
+    #   T[1, c] = j11 W[1, c] + j12 W[2, c]
+    t0 = [j00 * W[0, c] + j02 * W[2, c] for c in range(3)]
+    t1 = [j11 * W[1, c] + j12 * W[2, c] for c in range(3)]
 
-    a = cov2d[:, 0, 0]
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1]
+    # cov2d = T Sigma T^T, Sigma packed as (xx, xy, xz, yy, yz, zz).
+    sxx, sxy, sxz = cov3d[:, 0], cov3d[:, 1], cov3d[:, 2]
+    syy, syz, szz = cov3d[:, 3], cov3d[:, 4], cov3d[:, 5]
+
+    def sig_row(u):
+        return (
+            u[0] * sxx + u[1] * sxy + u[2] * sxz,
+            u[0] * sxy + u[1] * syy + u[2] * syz,
+            u[0] * sxz + u[1] * syz + u[2] * szz,
+        )
+
+    s0 = sig_row(t0)
+    s1 = sig_row(t1)
+    # Low-pass filter: each splat is at least ~1px wide (CUDA +0.3).
+    a = s0[0] * t0[0] + s0[1] * t0[1] + s0[2] * t0[2] + 0.3
+    b = s0[0] * t1[0] + s0[1] * t1[1] + s0[2] * t1[2]
+    c = s1[0] * t1[0] + s1[1] * t1[1] + s1[2] * t1[2] + 0.3
     det = a * c - b * b
     det_ok = det != 0.0
     det_inv = 1.0 / jnp.where(det_ok, det, 1.0)

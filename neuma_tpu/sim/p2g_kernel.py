@@ -36,12 +36,51 @@ from ..core.types import GridGeom, MPMConstants
 
 import os as _os
 
+# MXU precision for the in-kernel f32 contractions. XLA's HIGHEST is a
+# 6-pass bf16 decomposition on v5e (and Mosaic rejects Precision.HIGH),
+# so "high3" implements the 3-pass split by hand: a = a_hi + a_lo with
+# a_hi = bf16(a), then a@b = a_hi@b_hi + a_hi@b_lo + a_lo@b_hi — the
+# same ~2^-21 operand reconstruction at HALF the MXU passes. The
+# stacked channel-combine dots of the derivs gather are MXU-bound, so
+# this is ~2x on the sim backward's hot kernel. Knob for A/B.
+_PREC_MODE = _os.environ.get("NEUMA_KERNEL_PREC", "high3")
+_PREC = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high3": jax.lax.Precision.HIGHEST,  # high3 overrides via _kdot
+    "highest": jax.lax.Precision.HIGHEST,
+}[_PREC_MODE]
+
+
+def _bf16_split(a):
+    hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, a - hi
+
+
+def _kdot(a, b, dims):
+    """In-kernel f32 dot at the configured precision (see _PREC_MODE)."""
+    if _PREC_MODE != "high3":
+        return jax.lax.dot_general(
+            a, b, dims,
+            preferred_element_type=jnp.float32, precision=_PREC,
+        )
+    ah, al = _bf16_split(a)
+    bh, bl = _bf16_split(b)
+
+    def d(x, y):
+        return jax.lax.dot_general(
+            x, y, dims,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
 BLOCK = 14
 S = BLOCK + 2  # 16: padded block side; S^2 = 256 lanes, power of two
 # Chunk sizes trade padding waste (every nonempty block pads its last
 # chunk: expected waste ~ NB * C / 2 slots) against per-chunk fixed
 # costs; env-tunable for hardware A/B (measured defaults below).
-CHUNK = int(_os.environ.get("NEUMA_SCATTER_CHUNK", "512"))
+CHUNK = int(_os.environ.get("NEUMA_SCATTER_CHUNK", "256"))
 
 # payload column layout (44 used, padded to 48)
 _W0 = 0        # 9: spline weights, 3 taps x 3 axes (x taps 0-2, y 3-5, z 6-8)
@@ -364,7 +403,6 @@ def pack_payload(
 def _p2g_fwd_kernel(p_ref, out_ref):
     C = p_ref.shape[0]
     f32 = jnp.float32
-    prec = jax.lax.Precision.HIGHEST
 
     def col(j):
         return p_ref[:, j][:, None]  # (C, 1)
@@ -406,13 +444,7 @@ def _p2g_fwd_kernel(p_ref, out_ref):
     yz_k = yrep * ztil_k
 
     def dott(lhs, rhs):
-        return jax.lax.dot_general(
-            lhs,
-            rhs,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-            precision=prec,
-        )
+        return _kdot(lhs, rhs, (((0,), (0,)), ((), ())))
 
     for r in range(3):
         lhs = (
@@ -588,13 +620,8 @@ def _make_gather_kernel(derivs: bool, inv_dx: float):
             Zp = Zk - fz * Z  # per-element w*(t - fz), see factors()
 
             def zdot(zmat):
-                return jax.lax.dot_general(
-                    zmat,
-                    slabT,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (C, 4*S*S); channel ch at cols [ch*S*S:(ch+1)*S*S]
+                # (C, 4*S*S); channel ch at cols [ch*S*S:(ch+1)*S*S]
+                return _kdot(zmat, slabT, (((1,), (0,)), ((), ())))
 
             Tz = zdot(Z)
             Tzp = zdot(Zp)
@@ -652,13 +679,7 @@ def _make_gather_kernel(derivs: bool, inv_dx: float):
             def stack_dot(lhs_blocks, rhs_blocks):
                 lhs = jnp.concatenate(lhs_blocks, axis=1)  # (C, 16*k)
                 rhs = jnp.concatenate(rhs_blocks, axis=0)  # (16*k, S^2)
-                return jax.lax.dot_general(
-                    lhs,
-                    rhs,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (C, S^2)
+                return _kdot(lhs, rhs, (((1,), (0,)), ((), ())))  # (C, S^2)
 
             # rhs stacks are shared between the plain and the
             # z-derivative variants (rows are slab slices only).
