@@ -167,7 +167,15 @@ def make_rollout_loss(scene: GroundingScene) -> Callable:
         == (cams[0].width, cams[0].height, cams[0].fov_x, cams[0].fov_y)
         for c in cams
     )
-    if homogeneous_views:
+    # vmap over views only when the view axis is actually sharded (or
+    # the view count is large enough that graph size matters): batching
+    # the pair-build's sorts/scatters costs ~1.6x the unrolled loop on
+    # v5e (187 vs 141 ms at 3x1080p fwd+bwd, probe_residual.py).
+    vmap_views = homogeneous_views and (
+        (scene.mesh is not None and scene.view_axis is not None)
+        or len(cams) > 8
+    )
+    if vmap_views:
         # One render instance vmapped over the view axis (smaller graph
         # than an unrolled per-view loop; view axis shardable).
         cam_wv = jnp.stack([c.world_view for c in cams])
