@@ -172,61 +172,45 @@ def _fwd_kernel(
                 block_dma(jax.lax.rem(g_blk + 1, 2), g_blk + 1).start()
 
             block_dma(slot, g_blk).wait()
+            buf = scratch.at[slot]
 
-            # CUDA-style early exit: once every pixel's running
-            # transmittance is below 1e-4, no later pair can
-            # contribute (P_incl only shrinks), so the chunk's whole
-            # VPU body is skipped EXACTLY — the DMA stream above stays
-            # on schedule either way.
-            alive = jnp.any(P_run >= 1e-4)
-
-            def do(args):
-                P_run, c0, c1, c2, Tmin, last = args
-                buf = scratch.at[slot]
-                _, _, _, _, alpha, valid, feats = _alpha_terms(
-                    buf, px, py
-                )
-                (ca, cb, cc, op, r, g, b) = feats
-                rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-                live = (ci * CHUNK + rows) < n  # (CHUNK, 1)
-                valid = valid & live
-                a_val = jnp.where(valid, alpha, 0.0)
-                q = 1.0 - a_val  # (CHUNK, PIX)
-                prefix = _prefix_prod_incl(q)
-                P_incl = P_run * prefix
-                P_excl = P_run * jnp.concatenate(
-                    [jnp.ones((1, PIX), jnp.float32), prefix[:-1]],
-                    axis=0,
-                )
-                contribute = valid & (P_incl >= 1e-4)
-                w = jnp.where(contribute, a_val * P_excl, 0.0)
-                c0 = c0 + jnp.sum(w * r, axis=0, keepdims=True)
-                c1 = c1 + jnp.sum(w * g, axis=0, keepdims=True)
-                c2 = c2 + jnp.sum(w * b, axis=0, keepdims=True)
-                Tmin = jnp.minimum(
-                    Tmin,
-                    jnp.min(
-                        jnp.where(contribute, P_incl, 1.0),
-                        axis=0,
-                        keepdims=True,
-                    ),
-                )
-                idx = (base + rows).astype(jnp.float32)
-                last = jnp.maximum(
-                    last,
-                    jnp.max(
-                        jnp.where(contribute, idx, -1.0),
-                        axis=0,
-                        keepdims=True,
-                    ),
-                )
-                P_run = P_incl[CHUNK - 1 : CHUNK, :]
-                return P_run, c0, c1, c2, Tmin, last
-
-            P_run, c0, c1, c2, Tmin, last = jax.lax.cond(
-                alive, do, lambda args: args,
-                (P_run, c0, c1, c2, Tmin, last),
+            _, _, _, _, alpha, valid, feats = _alpha_terms(
+                buf, px, py
             )
+            (ca, cb, cc, op, r, g, b) = feats
+            rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+            live = (ci * CHUNK + rows) < n  # (CHUNK, 1)
+            valid = valid & live
+            a_val = jnp.where(valid, alpha, 0.0)
+            q = 1.0 - a_val  # (CHUNK, PIX)
+            prefix = _prefix_prod_incl(q)
+            P_incl = P_run * prefix
+            P_excl = P_run * jnp.concatenate(
+                [jnp.ones((1, PIX), jnp.float32), prefix[:-1]], axis=0
+            )
+            contribute = valid & (P_incl >= 1e-4)
+            w = jnp.where(contribute, a_val * P_excl, 0.0)
+            c0 = c0 + jnp.sum(w * r, axis=0, keepdims=True)
+            c1 = c1 + jnp.sum(w * g, axis=0, keepdims=True)
+            c2 = c2 + jnp.sum(w * b, axis=0, keepdims=True)
+            Tmin = jnp.minimum(
+                Tmin,
+                jnp.min(
+                    jnp.where(contribute, P_incl, 1.0),
+                    axis=0,
+                    keepdims=True,
+                ),
+            )
+            idx = (base + rows).astype(jnp.float32)
+            last = jnp.maximum(
+                last,
+                jnp.max(
+                    jnp.where(contribute, idx, -1.0),
+                    axis=0,
+                    keepdims=True,
+                ),
+            )
+            P_run = P_incl[CHUNK - 1 : CHUNK, :]
             return g_blk + 1, P_run, c0, c1, c2, Tmin, last
 
         ones = jnp.ones((1, PIX), jnp.float32)
@@ -330,93 +314,64 @@ def _bwd_kernel(
 
             block_dma(slot, g_blk).wait()
 
-            # Early exit, reverse form: chunks entirely past every
-            # pixel's last contributor produce exactly zero grads and
-            # leave T_after/s_dot unchanged (all alphas masked), so
-            # their VPU body is skipped — the zero grad rows are still
-            # written to keep the output DMA stream on schedule.
-            alive = jnp.max(last) >= jnp.float32(1.0) * base
+            dx, dy, power, G, alpha, valid, feats = _alpha_terms(
+                scratch.at[slot], px, py
+            )
+            (ca, cb, cc, op, r, g, b) = feats
+            rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+            idx = (base + rows).astype(jnp.float32)
+            live = (ci * CHUNK + rows) < n
+            contribute = valid & live & (idx <= last)
 
-            def do(args):
-                T_after, s_dot = args
-                dx, dy, power, G, alpha, valid, feats = _alpha_terms(
-                    scratch.at[slot], px, py
-                )
-                (ca, cb, cc, op, r, g, b) = feats
-                rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-                idx = (base + rows).astype(jnp.float32)
-                live = (ci * CHUNK + rows) < n
-                contribute = valid & live & (idx <= last)
+            a_val = jnp.where(contribute, alpha, 0.0)
+            q = 1.0 - a_val
+            # T_excl_i = T_after / prod_{j>=i} q_j
+            suffix = _suffix_prod_incl(q)
+            T_excl = T_after / suffix  # (CHUNK, PIX)
 
-                a_val = jnp.where(contribute, alpha, 0.0)
-                q = 1.0 - a_val
-                # T_excl_i = T_after / prod_{j>=i} q_j
-                suffix = _suffix_prod_incl(q)
-                T_excl = T_after / suffix  # (CHUNK, PIX)
+            col_dot = r * dc0 + g * dc1 + b * dc2  # (CHUNK, PIX)
+            w = a_val * T_excl
+            contrib_term = w * col_dot
+            # s_dot for pair i = entering s_dot + suffix (j > i) in chunk
+            s_dot_i = s_dot + _suffix_sum_excl(contrib_term)
 
-                col_dot = r * dc0 + g * dc1 + b * dc2  # (CHUNK, PIX)
-                w = a_val * T_excl
-                contrib_term = w * col_dot
-                # s_dot for pair i = entering s_dot + suffix (j > i)
-                s_dot_i = s_dot + _suffix_sum_excl(contrib_term)
+            inv_1ma = 1.0 / q
+            dL_dalpha = jnp.where(
+                contribute,
+                T_excl * col_dot
+                - s_dot_i * inv_1ma
+                - T_final * inv_1ma * dT,
+                0.0,
+            )
+            # CUDA quirk: 0.99 cap ignored in the chain.
+            dL_dop_pix = G * dL_dalpha
+            dL_dpower = op * G * dL_dalpha
 
-                inv_1ma = 1.0 / q
-                dL_dalpha = jnp.where(
-                    contribute,
-                    T_excl * col_dot
-                    - s_dot_i * inv_1ma
-                    - T_final * inv_1ma * dT,
-                    0.0,
-                )
-                # CUDA quirk: 0.99 cap ignored in the chain.
-                dL_dop_pix = G * dL_dalpha
-                dL_dpower = op * G * dL_dalpha
+            dL_dr = jnp.sum(w * dc0, axis=1, keepdims=True)
+            dL_dg = jnp.sum(w * dc1, axis=1, keepdims=True)
+            dL_db = jnp.sum(w * dc2, axis=1, keepdims=True)
+            dL_dop = jnp.sum(dL_dop_pix, axis=1, keepdims=True)
+            dL_dca = jnp.sum(
+                -0.5 * dx * dx * dL_dpower, axis=1, keepdims=True
+            )
+            dL_dcb = jnp.sum(-dx * dy * dL_dpower, axis=1, keepdims=True)
+            dL_dcc = jnp.sum(
+                -0.5 * dy * dy * dL_dpower, axis=1, keepdims=True
+            )
+            dL_dmx = jnp.sum(
+                -(ca * dx + cb * dy) * dL_dpower, axis=1, keepdims=True
+            )
+            dL_dmy = jnp.sum(
+                -(cc * dy + cb * dx) * dL_dpower, axis=1, keepdims=True
+            )
 
-                dL_dr = jnp.sum(w * dc0, axis=1, keepdims=True)
-                dL_dg = jnp.sum(w * dc1, axis=1, keepdims=True)
-                dL_db = jnp.sum(w * dc2, axis=1, keepdims=True)
-                dL_dop = jnp.sum(dL_dop_pix, axis=1, keepdims=True)
-                dL_dca = jnp.sum(
-                    -0.5 * dx * dx * dL_dpower, axis=1, keepdims=True
-                )
-                dL_dcb = jnp.sum(
-                    -dx * dy * dL_dpower, axis=1, keepdims=True
-                )
-                dL_dcc = jnp.sum(
-                    -0.5 * dy * dy * dL_dpower, axis=1, keepdims=True
-                )
-                dL_dmx = jnp.sum(
-                    -(ca * dx + cb * dy) * dL_dpower,
-                    axis=1, keepdims=True,
-                )
-                dL_dmy = jnp.sum(
-                    -(cc * dy + cb * dx) * dL_dpower,
-                    axis=1, keepdims=True,
-                )
-
-                grad_rows = jnp.concatenate(
-                    [
-                        dL_dmx, dL_dmy, dL_dca, dL_dcb, dL_dcc, dL_dop,
-                        dL_dr, dL_dg, dL_db,
-                        jnp.zeros((CHUNK, PAIR_W - 9), jnp.float32),
-                    ],
-                    axis=1,
-                )
-                s_dot = s_dot + jnp.sum(
-                    contrib_term, axis=0, keepdims=True
-                )
-                T_after = T_excl[0:1, :]  # == T_after / prod(chunk q)
-                return T_after, s_dot, grad_rows
-
-            T_after, s_dot, grad_rows = jax.lax.cond(
-                alive,
-                do,
-                lambda args: (
-                    args[0],
-                    args[1],
-                    jnp.zeros((CHUNK, PAIR_W), jnp.float32),
-                ),
-                (T_after, s_dot),
+            grad_rows = jnp.concatenate(
+                [
+                    dL_dmx, dL_dmy, dL_dca, dL_dcb, dL_dcc, dL_dop,
+                    dL_dr, dL_dg, dL_db,
+                    jnp.zeros((CHUNK, PAIR_W - 9), jnp.float32),
+                ],
+                axis=1,
             )
             # Double-buffered output DMA: wait only for the write issued
             # two blocks ago on this slot, then overwrite and fire —
@@ -431,6 +386,10 @@ def _bwd_kernel(
             gscratch[wslot] = grad_rows
             write_dma(wslot, base).start()
 
+            s_dot = s_dot + jnp.sum(
+                contrib_term, axis=0, keepdims=True
+            )
+            T_after = T_excl[0:1, :]  # == T_after / prod(chunk q)
             return g_blk - 1, T_after, s_dot
 
         g_blk, _, _ = jax.lax.fori_loop(

@@ -400,36 +400,6 @@ def pack_payload(
 # forward kernel
 # --------------------------------------------------------------------------
 
-_FACTOR_MODE = _os.environ.get("NEUMA_FACTOR_MODE", "onehot")
-
-
-def _interleave_expand(mat):
-    """(C, S) -> (C, S^2) with out[c, q] = mat[c, q // S] (the y-axis
-    broadcast pattern), via one exact high3 dot against a constant
-    one-hot (each output element is a single w * 1 product, exact under
-    the bf16 split)."""
-    C = mat.shape[0]
-    jq = jax.lax.broadcasted_iota(jnp.int32, (S, S * S), 1)
-    jr = jax.lax.broadcasted_iota(jnp.int32, (S, S * S), 0)
-    Ediv = ((jq >> 4) == jr).astype(jnp.float32)
-    ah, al = _bf16_split(mat)
-
-    def d(x):
-        return jax.lax.dot_general(
-            x, Ediv, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-
-    return d(ah) + d(al)
-
-
-def _tile_expand(mat):
-    """(C, S) -> (C, S^2) with out[c, q] = mat[c, q % S] (the z-axis
-    broadcast pattern): a plain lane tile."""
-    return pltpu.repeat(mat, S, axis=1)
-
-
 def _axis_rows(p_ref, col, a, idxS, derivs=False):
     """Per-axis (C, S) one-hot weight rows (and tap-offset/derivative
     variants) from the payload's weight + local-line columns."""
@@ -465,34 +435,28 @@ def _p2g_fwd_kernel(p_ref, out_ref):
     # x-axis one-hots at (C, S)
     Wx, Wix, _, _ = _axis_rows(p_ref, col, 0, idxS)
 
-    if _FACTOR_MODE == "struct":
-        # y/z factors via structured expansion of (C, S) rows: y is an
-        # interleave (one exact expansion dot), z a lane tile.
-        Wy, Wiy, _, _ = _axis_rows(p_ref, col, 1, idxS)
-        Wz, Wiz, _, _ = _axis_rows(p_ref, col, 2, idxS)
-        yrep = _interleave_expand(Wy)
-        yrep_i = _interleave_expand(Wiy)
-        ztil = _tile_expand(Wz)
-        ztil_k = _tile_expand(Wiz)
-    else:
-        # y/z one-hots directly at (C, S^2): y on q//S, z on q%S
-        q = jax.lax.broadcasted_iota(jnp.int32, (C, S * S), 1)
-        qdiv = q >> 4  # S = 16
-        qmod = q & (S - 1)
-        yrep = jnp.zeros((C, S * S), f32)
-        yrep_i = jnp.zeros((C, S * S), f32)
-        ztil = jnp.zeros((C, S * S), f32)
-        ztil_k = jnp.zeros((C, S * S), f32)
-        for t in range(3):
-            ohy = (qdiv == col(_L0 + 3 + t).astype(jnp.int32)).astype(f32)
-            ohz = (qmod == col(_L0 + 6 + t).astype(jnp.int32)).astype(f32)
-            wy = col(_W0 + 3 + t)
-            wz = col(_W0 + 6 + t)
-            yrep += wy * ohy
-            ztil += wz * ohz
-            if t:
-                yrep_i += float(t) * wy * ohy
-                ztil_k += float(t) * wz * ohz
+    # y/z one-hots directly at (C, S^2): y on q//S, z on q%S. (Two
+    # structured-expansion variants were measured on v5e and LOST:
+    # full MXU one-hot expansion 15.1 -> 17.0 ms per step, and
+    # lane-tile-z + expansion-dot-y 11.8 -> 13.2 ms — the direct
+    # 3-tap builds win despite the (C, S^2) VPU footprint.)
+    q = jax.lax.broadcasted_iota(jnp.int32, (C, S * S), 1)
+    qdiv = q >> 4  # S = 16
+    qmod = q & (S - 1)
+    yrep = jnp.zeros((C, S * S), f32)
+    yrep_i = jnp.zeros((C, S * S), f32)
+    ztil = jnp.zeros((C, S * S), f32)
+    ztil_k = jnp.zeros((C, S * S), f32)
+    for t in range(3):
+        ohy = (qdiv == col(_L0 + 3 + t).astype(jnp.int32)).astype(f32)
+        ohz = (qmod == col(_L0 + 6 + t).astype(jnp.int32)).astype(f32)
+        wy = col(_W0 + 3 + t)
+        wz = col(_W0 + 6 + t)
+        yrep += wy * ohy
+        ztil += wz * ohz
+        if t:
+            yrep_i += float(t) * wy * ohy
+            ztil_k += float(t) * wz * ohz
     yz = yrep * ztil
     yz_i = yrep_i * ztil
     yz_k = yrep * ztil_k
@@ -621,69 +585,44 @@ def _make_gather_kernel(derivs: bool, inv_dx: float):
             slabT = slab_ref[0].reshape(n_ch * S * S, S).T
 
             idxS = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
+            q = jax.lax.broadcasted_iota(jnp.int32, (C, S * S), 1)
+            qdiv = q >> 4
+            qmod = q & (S - 1)
 
-            if _FACTOR_MODE == "struct":
-                # factors at (C, S) rows, then structured expansion:
-                # axis 0 broadcasts over q // S (interleave — one exact
-                # expansion dot), axis 1 over q % S (lane tile).
-                def factors(axis, expand):
-                    fxa = col(_FX0 + axis)
-                    plain, off, der, der_off = _axis_rows(
-                        p_ref, col, axis, idxS, derivs
-                    )
-                    # (t - fx) weighting: per-ELEMENT each column holds
-                    # one tap's w, so off - fx*plain = w*(t - fx) with
-                    # no large cancelling sums.
-                    dpos = off - fxa * plain
-                    return (
-                        expand(plain),
-                        expand(off),
-                        expand(dpos),
-                        expand(der) if derivs else None,
-                        expand(der_off) if derivs else None,
-                    )
-
-                X, Xi, Xp, Xd, Xdi = factors(0, _interleave_expand)
-                Y, Yj, Yp, Yd, Ydj = factors(1, _tile_expand)
-            else:
-                q = jax.lax.broadcasted_iota(jnp.int32, (C, S * S), 1)
-                qdiv = q >> 4
-                qmod = q & (S - 1)
-
-                # per-axis one-hot factors
-                def factors(axis, pattern):
-                    w0, l0, d0 = (
-                        _W0 + 3 * axis, _L0 + 3 * axis, _WD0 + 3 * axis
-                    )
-                    fxa = col(_FX0 + axis)
-                    plain = jnp.zeros((C, S * S), f32)
-                    off = jnp.zeros((C, S * S), f32)
-                    der = jnp.zeros((C, S * S), f32) if derivs else None
-                    der_off = (
-                        jnp.zeros((C, S * S), f32) if derivs else None
-                    )
-                    for t in range(3):
-                        oh = (
-                            pattern == col(l0 + t).astype(jnp.int32)
-                        ).astype(f32)
-                        a = col(w0 + t) * oh
-                        plain += a
+            # per-axis one-hot factors
+            def factors(axis, pattern):
+                w0, l0, d0 = (
+                    _W0 + 3 * axis, _L0 + 3 * axis, _WD0 + 3 * axis
+                )
+                fxa = col(_FX0 + axis)
+                plain = jnp.zeros((C, S * S), f32)
+                off = jnp.zeros((C, S * S), f32)
+                der = jnp.zeros((C, S * S), f32) if derivs else None
+                der_off = (
+                    jnp.zeros((C, S * S), f32) if derivs else None
+                )
+                for t in range(3):
+                    oh = (
+                        pattern == col(l0 + t).astype(jnp.int32)
+                    ).astype(f32)
+                    a = col(w0 + t) * oh
+                    plain += a
+                    if t:
+                        off += float(t) * a
+                    if derivs:
+                        bm = col(d0 + t) * oh
+                        der += bm
                         if t:
-                            off += float(t) * a
-                        if derivs:
-                            bm = col(d0 + t) * oh
-                            der += bm
-                            if t:
-                                der_off += float(t) * bm
-                    # (t - fx) weighting: per-ELEMENT each column holds
-                    # one tap's w, so off - fx*plain = w*(t - fx) with
-                    # no large cancelling sums (the catastrophic form
-                    # would subtract AFTER the tap reductions).
-                    dpos = off - fxa * plain
-                    return plain, off, dpos, der, der_off
+                            der_off += float(t) * bm
+                # (t - fx) weighting: per-ELEMENT each column holds
+                # one tap's w, so off - fx*plain = w*(t - fx) with
+                # no large cancelling sums (the catastrophic form
+                # would subtract AFTER the tap reductions).
+                dpos = off - fxa * plain
+                return plain, off, dpos, der, der_off
 
-                X, Xi, Xp, Xd, Xdi = factors(0, qdiv)
-                Y, Yj, Yp, Yd, Ydj = factors(1, qmod)
+            X, Xi, Xp, Xd, Xdi = factors(0, qdiv)
+            Y, Yj, Yp, Yd, Ydj = factors(1, qmod)
 
             # z one-hots at (C, S) for the MXU contraction
             Z = jnp.zeros((C, S), f32)

@@ -18,6 +18,7 @@ stages share it:
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Callable, List, Optional, Sequence, Tuple
 
@@ -84,6 +85,17 @@ class GroundingScene:
     # Static per-shard particle-bin capacity for halo mode (None = N,
     # always safe; lower it when the scene provably spreads over slabs).
     halo_capacity: Optional[int] = None
+    # Rollout rematerialization policy (SURVEY 5.7):
+    # * 'frame' — per-frame jax.checkpoint, saving only the named
+    #   integer raster layout: residual memory stays at the carry size,
+    #   but the backward replays each frame's forward (the sim forward
+    #   is ~20% of the realworld step).
+    # * 'none'  — store every substep's custom-VJP residuals at forward
+    #   time; no replay. Residuals are ~(4 grid channels + particle
+    #   state + layouts) per substep, alive for the WHOLE rollout.
+    # * 'auto'  — 'none' when the estimated residual footprint fits a
+    #   conservative HBM budget (see _remat_policy), else 'frame'.
+    remat: str = "auto"
 
     @property
     def num_frames(self) -> int:
@@ -92,6 +104,48 @@ class GroundingScene:
     @property
     def num_views(self) -> int:
         return self.gt_images.shape[1]
+
+
+def _remat_policy(scene: "GroundingScene") -> str:
+    """Resolve scene.remat ('auto' picks 'none' when the whole rollout's
+    substep residuals fit a conservative HBM budget). Residual estimate
+    per substep: 4 f32 grid channels + ~22 f32 per particle (state +
+    g2p outputs + stress) + the block-sort/chunk layouts (~3x particle
+    ints); per frame additionally the saved raster pair layout."""
+    if scene.remat != "auto":
+        return scene.remat
+    if scene.grid_mode != "replicated":
+        return "frame"  # halo bins change the residual shape; keep remat
+    g3 = int(scene.constants.num_grids) ** 3
+    n = int(scene.init_x.shape[0])
+    # PADDED sizes: residuals stack over (frames, substeps, ...) with
+    # TPU tile layouts, so trailing dims pad to 128 lanes (and the
+    # second-to-last to 8 sublanes) — a stacked (N, 3) costs N*128 f32
+    # and a (N, 3, 3) costs N*8*128 (measured: a 'none'-mode realworld
+    # rollout OOMed at 20.9G where the unpadded estimate said 0.9G).
+    per_substep = 4 * (
+        g3 * 128          # grid_mv (g3, 3) -> 128 lanes
+        + g3              # grid_m (g3,)
+        + 3 * n * 8 * 128  # new_C + state C/F (N, 3, 3) -> (8, 128)
+        + 4 * n * 128     # x/v/new_v/stress-ish (N, 3) -> 128 lanes
+        + 30 * n          # layouts / sort (flat int arrays)
+    )
+    # Render residuals per frame (composite custom-VJP saves the pair
+    # features + per-tile T/last; the pair builder's integer layout is
+    # comparable): ~10 f32 per pair slot + 5x256 f32 per tile, per view.
+    from ..render.pallas_raster import CHUNK as _RC
+
+    cam = scene.cameras[0]
+    tiles = ((cam.width + 15) // 16) * ((cam.height + 15) // 16)
+    pair_slots = scene.raster_cfg.max_pairs + _RC * tiles
+    per_frame_render = scene.num_views * 4 * (
+        10 * pair_slots + 5 * 256 * tiles
+    )
+    total = scene.num_frames * (
+        scene.substeps * per_substep + per_frame_render
+    )
+    budget = int(float(os.environ.get("NEUMA_REMAT_BUDGET_GB", "4")) * 2**30)
+    return "none" if total <= budget else "frame"
 
 
 def make_rollout_loss(scene: GroundingScene) -> Callable:
@@ -344,12 +398,19 @@ def make_rollout_loss(scene: GroundingScene) -> Callable:
 
         # Per-frame remat, but SAVE the rasterizer's integer pair layout
         # (~1MB/frame) so the sorts/binning don't run again in backward.
-        policy = jax.checkpoint_policies.save_only_these_names(
-            "raster_pairs"
-        )
+        # Short rollouts skip the remat entirely (scene.remat / 'auto' —
+        # all substep residuals fit HBM, so the backward replays
+        # nothing; see _remat_policy).
+        if _remat_policy(scene) == "frame":
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "raster_pairs"
+            )
+            body = jax.checkpoint(frame_body, policy=policy)
+        else:
+            body = frame_body
         (state, _, _, _), (frame_losses, overflows, halo_ovfs) = (
             jax.lax.scan(
-                jax.checkpoint(frame_body, policy=policy),
+                body,
                 carry,
                 (gt_images, frame_weights, excluded),
             )

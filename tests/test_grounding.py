@@ -296,3 +296,54 @@ def test_full_pipeline_gradient_finite_difference(rng):
             - float(f2(jnp.float32(0.01 - eps)))) / (2 * eps)
     if abs(fd_l) > 1e-6:
         np.testing.assert_allclose(g_l, fd_l, rtol=0.1, atol=1e-5)
+
+
+def test_remat_policy_modes_agree(rng):
+    """remat='none' (store-everything, no replay) produces the same loss
+    and parameter gradients as remat='frame' (per-frame checkpoint), and
+    the 'auto' policy resolves as documented."""
+    import dataclasses as _dc
+
+    from neuma_tpu.train.grounding import _remat_policy
+
+    scene = build_scene(rng, n=150, g=16, frames=3, substeps=2,
+                        material="meta")
+    gt = jnp.asarray(
+        0.5 + 0.1 * rng.random((3, 2, 3, 64, 64)).astype(np.float32)
+    )
+    scene = _dc.replace(scene, gt_images=gt)
+    weights = jnp.ones(3, jnp.float32)
+    init_v = jnp.asarray([0.2, 0.0, 0.0], jnp.float32)
+
+    outs = {}
+    for mode in ("frame", "none"):
+        s = _dc.replace(scene, remat=mode)
+        loss_fn = make_rollout_loss(s)
+        (loss, _), grads = jax.jit(
+            jax.value_and_grad(
+                lambda a, b: loss_fn(
+                    a, b, init_v, weights, gt_images=gt
+                ),
+                argnums=(0, 1),
+                has_aux=True,
+            )
+        )(s.elasticity_params, s.plasticity_params)
+        outs[mode] = (float(loss), grads)
+
+    assert np.isclose(outs["frame"][0], outs["none"][0], rtol=1e-6)
+    fa = jax.tree_util.tree_leaves(outs["frame"][1])
+    nb = jax.tree_util.tree_leaves(outs["none"][1])
+    for a, b in zip(fa, nb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7
+        )
+
+    # auto: tiny scene resolves to 'none'; a huge rollout to 'frame'.
+    assert _remat_policy(_dc.replace(scene, remat="auto")) == "none"
+    big = _dc.replace(
+        scene,
+        remat="auto",
+        gt_images=jnp.zeros((200, 2, 3, 64, 64)),
+        substeps=1000,
+    )
+    assert _remat_policy(big) == "frame"
