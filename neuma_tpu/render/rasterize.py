@@ -35,7 +35,6 @@ import numpy as np
 
 from ..ops.sh import sh_basis
 from .camera import Camera
-from .gaussians import unstrip_symmetric
 
 TILE = 16
 
@@ -101,6 +100,17 @@ class RasterConfig:
             f"max_pairs ({self.max_pairs}) must stay below 2^24: pair "
             "placement relies on exact f32 integer arithmetic"
         )
+        # Enum-ish knobs fail loudly (a typo'd opt-in must not silently
+        # fall back to the default strategy).
+        if self.backend not in ("auto", "jnp", "pallas",
+                                "pallas_interpret"):
+            raise ValueError(f"unknown backend: {self.backend!r}")
+        if self.pair_binning not in ("auto", "counting", "sort"):
+            raise ValueError(
+                f"unknown pair_binning: {self.pair_binning!r}"
+            )
+        if self.pair_grad not in ("scatter", "segsum"):
+            raise ValueError(f"unknown pair_grad: {self.pair_grad!r}")
 
     def resolve_backend(self) -> str:
         if self.backend != "auto":

@@ -44,11 +44,18 @@ import os as _os
 # stacked channel-combine dots of the derivs gather are MXU-bound, so
 # this is ~2x on the sim backward's hot kernel. Knob for A/B.
 _PREC_MODE = _os.environ.get("NEUMA_KERNEL_PREC", "high3")
-_PREC = {
+_PREC_TABLE = {
     "default": jax.lax.Precision.DEFAULT,
     "high3": jax.lax.Precision.HIGHEST,  # high3 overrides via _kdot
     "highest": jax.lax.Precision.HIGHEST,
-}[_PREC_MODE]
+}
+if _PREC_MODE not in _PREC_TABLE:
+    raise ValueError(
+        f"NEUMA_KERNEL_PREC={_PREC_MODE!r}: valid modes are "
+        f"{sorted(_PREC_TABLE)} (XLA's Precision.HIGH is rejected by "
+        "Mosaic; 'high3' is the manual 3-pass bf16 split)"
+    )
+_PREC = _PREC_TABLE[_PREC_MODE]
 
 
 def _bf16_split(a):
@@ -400,27 +407,20 @@ def pack_payload(
 # forward kernel
 # --------------------------------------------------------------------------
 
-def _axis_rows(p_ref, col, a, idxS, derivs=False):
-    """Per-axis (C, S) one-hot weight rows (and tap-offset/derivative
-    variants) from the payload's weight + local-line columns."""
+def _axis_rows(col, a, idxS):
+    """Per-axis (C, S) one-hot weight rows (plain + tap-offset-weighted)
+    from the payload's weight + local-line columns."""
     f32 = jnp.float32
     C = idxS.shape[0]
     W = jnp.zeros((C, S), f32)
     Wi = jnp.zeros((C, S), f32)
-    Wd = jnp.zeros((C, S), f32) if derivs else None
-    Wdi = jnp.zeros((C, S), f32) if derivs else None
     for t in range(3):
         oh = (idxS == col(_L0 + 3 * a + t).astype(jnp.int32)).astype(f32)
         wt = col(_W0 + 3 * a + t)
         W += wt * oh
         if t:
             Wi += float(t) * wt * oh
-        if derivs:
-            bm = col(_WD0 + 3 * a + t) * oh
-            Wd += bm
-            if t:
-                Wdi += float(t) * bm
-    return W, Wi, Wd, Wdi
+    return W, Wi
 
 
 def _p2g_fwd_kernel(p_ref, out_ref):
@@ -433,7 +433,7 @@ def _p2g_fwd_kernel(p_ref, out_ref):
     idxS = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
 
     # x-axis one-hots at (C, S)
-    Wx, Wix, _, _ = _axis_rows(p_ref, col, 0, idxS)
+    Wx, Wix = _axis_rows(col, 0, idxS)
 
     # y/z one-hots directly at (C, S^2): y on q//S, z on q%S. (Two
     # structured-expansion variants were measured on v5e and LOST:

@@ -112,8 +112,13 @@ def _remat_policy(scene: "GroundingScene") -> str:
     per substep: 4 f32 grid channels + ~22 f32 per particle (state +
     g2p outputs + stress) + the block-sort/chunk layouts (~3x particle
     ints); per frame additionally the saved raster pair layout."""
-    if scene.remat != "auto":
+    if scene.remat in ("frame", "none"):
         return scene.remat
+    if scene.remat != "auto":
+        raise ValueError(
+            f"unknown remat policy: {scene.remat!r} "
+            "(expected 'frame', 'none', or 'auto')"
+        )
     if scene.grid_mode != "replicated":
         return "frame"  # halo bins change the residual shape; keep remat
     g3 = int(scene.constants.num_grids) ** 3
