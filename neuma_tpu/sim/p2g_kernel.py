@@ -843,7 +843,7 @@ def run_apic_gather(
 
 
 # smaller chunk: the derivs kernel holds ~30 (C, S^2) live
-GATHER_CHUNK = int(_os.environ.get("NEUMA_GATHER_CHUNK", "256"))
+GATHER_CHUNK = int(_os.environ.get("NEUMA_GATHER_CHUNK", "128"))
 
 
 def apic_gather_tpu(
