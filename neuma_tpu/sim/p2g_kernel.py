@@ -87,7 +87,7 @@ S = BLOCK + 2  # 16: padded block side; S^2 = 256 lanes, power of two
 # Chunk sizes trade padding waste (every nonempty block pads its last
 # chunk: expected waste ~ NB * C / 2 slots) against per-chunk fixed
 # costs; env-tunable for hardware A/B (measured defaults below).
-CHUNK = int(_os.environ.get("NEUMA_SCATTER_CHUNK", "256"))
+CHUNK = int(_os.environ.get("NEUMA_SCATTER_CHUNK", "128"))
 
 # payload column layout (44 used, padded to 48)
 _W0 = 0        # 9: spline weights, 3 taps x 3 axes (x taps 0-2, y 3-5, z 6-8)
