@@ -694,6 +694,126 @@ def _mpm_step_bwd(residuals, g):
 mpm_step_diff.defvjp(_mpm_step_fwd, _mpm_step_bwd)
 
 
+# --- packed-residual substep -------------------------------------------------
+#
+# Under the rollout's replay-free remat policy ('none'), ``lax.scan``
+# stacks every substep residual over (frames x substeps). TPU tile
+# layouts pad the trailing dims of each stacked leaf to (8, 128), so a
+# stacked (N, 3) costs N*128 f32 (42.7x) and a (N, 3, 3) costs N*8*128
+# (32x) — measured 20.9 GB where the unpadded math said 0.9 GB at the
+# realworld bench shape (30k/70^3/substeps 20/2 frames), which forced
+# that shape onto per-frame remat and its ~+94 ms/frame forward replay.
+# Storing every f32 residual FLAT (1-D) restores the unpadded footprint;
+# the reshapes in fwd/bwd are cheap relayouts (~13 MB round-trip per
+# substep at 30k particles).
+
+
+def _flat(a):
+    return a.reshape(-1) if a.ndim >= 2 else a
+
+
+def _pack_layouts(sort):
+    """Flatten the multi-dim leaves of a BlockSort/StepLayouts pytree
+    (base/fx/loc are (N,3)/(N,3,3); everything else is already 1-D)."""
+    if sort is None:
+        return None
+    return jax.tree_util.tree_map(_flat, sort)
+
+
+def _unpack_layouts(packed):
+    if packed is None:
+        return None
+    s = packed.sort if hasattr(packed, "sort") else packed
+    n = s.perm.size
+    sort = s._replace(
+        base=s.base.reshape(n, 3),
+        fx=s.fx.reshape(n, 3),
+        loc=s.loc.reshape(n, 3, 3),
+    )
+    if hasattr(packed, "sort"):
+        return packed._replace(sort=sort)
+    return sort
+
+
+def _pack_step_res(res):
+    (constants, statics, state, stress, sort, sort_in,
+     grid_m, grid_mv, new_v, new_C) = res
+    return (
+        constants, statics,
+        jax.tree_util.tree_map(_flat, state),
+        _flat(stress),
+        _pack_layouts(sort), _pack_layouts(sort_in),
+        grid_m, _flat(grid_mv), _flat(new_v), _flat(new_C),
+    )
+
+
+def _unpack_step_res(packed):
+    (constants, statics, fs, stress, sort, sort_in,
+     grid_m, grid_mv, new_v, new_C) = packed
+    n = fs.x.size // 3
+    g3 = grid_m.size
+    state = ParticleState(
+        x=fs.x.reshape(n, 3), v=fs.v.reshape(n, 3),
+        C=fs.C.reshape(n, 3, 3), F=fs.F.reshape(n, 3, 3),
+    )
+    return (
+        constants, statics, state, stress.reshape(n, 3, 3),
+        _unpack_layouts(sort), _unpack_layouts(sort_in),
+        grid_m, grid_mv.reshape(g3, 3),
+        new_v.reshape(n, 3), new_C.reshape(n, 3, 3),
+    )
+
+
+def make_packed_substep(constants, statics, elast_apply, plast_apply):
+    """One grounding substep (elasticity net -> ``mpm_step_diff`` ->
+    plasticity net) as a single ``custom_vjp`` whose residuals are
+    stored flat (see the layout note above).
+
+    The material nets save NO residuals of their own: backward rebuilds
+    their vjps from the saved (flat) state at the cost of one extra
+    material forward each — far cheaper than the per-frame replay this
+    enables short rollouts to skip, and it keeps the nets' large
+    intermediate activations (SVD factors, hidden features) out of the
+    scan's stacked residuals entirely. Gradient VALUES are identical to
+    the unfused composition (the same piece adjoints run in the same
+    order; parity is test-pinned in tests/test_grounding.py)."""
+
+    @jax.custom_vjp
+    def substep(params_e, params_p, s, layouts):
+        stress = elast_apply(params_e, s.F)
+        out = mpm_step_diff(constants, statics, s, stress, layouts)
+        return dataclasses.replace(out, F=plast_apply(params_p, out.F))
+
+    def fwd(params_e, params_p, s, layouts):
+        stress = elast_apply(params_e, s.F)
+        out, res = _mpm_step_fwd(constants, statics, s, stress, layouts)
+        f2 = out.F
+        out = dataclasses.replace(out, F=plast_apply(params_p, f2))
+        return out, (params_e, params_p, _pack_step_res(res), _flat(f2))
+
+    def bwd(saved, g):
+        params_e, params_p, packed, f2 = saved
+        res = _unpack_step_res(packed)
+        state = res[2]
+        n = state.x.shape[0]
+        _, vjp_p = jax.vjp(
+            lambda pp, F: plast_apply(pp, F), params_p, f2.reshape(n, 3, 3)
+        )
+        d_pp, d_f2 = vjp_p(g.F)
+        _, _, d_s, d_stress, d_sort = _mpm_step_bwd(
+            res, dataclasses.replace(g, F=d_f2)
+        )
+        _, vjp_e = jax.vjp(
+            lambda pe, F: elast_apply(pe, F), params_e, state.F
+        )
+        d_pe, d_f_e = vjp_e(d_stress)
+        d_s = dataclasses.replace(d_s, F=d_s.F + d_f_e)
+        return d_pe, d_pp, d_s, d_sort
+
+    substep.defvjp(fwd, bwd)
+    return substep
+
+
 @jax.custom_vjp
 def scrub_cotangents(tree):
     """Identity whose backward NaN/Inf-scrubs the cotangent — the

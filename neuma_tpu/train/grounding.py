@@ -37,7 +37,7 @@ from ..render.binding import (
 from ..render.camera import Camera
 from ..render.gaussians import GaussianPack
 from ..render.rasterize import RasterConfig, rasterize_with_aux
-from ..sim.mpm import mpm_step_diff
+from ..sim.mpm import make_packed_substep
 from ..sim.rollout import denormalize_points
 from .losses import l1_loss, l2_loss
 from .optim import clip_by_global_norm_strict, masked_radam, radam
@@ -123,18 +123,17 @@ def _remat_policy(scene: "GroundingScene") -> str:
         return "frame"  # halo bins change the residual shape; keep remat
     g3 = int(scene.constants.num_grids) ** 3
     n = int(scene.init_x.shape[0])
-    # PADDED sizes: residuals stack over (frames, substeps, ...) with
-    # TPU tile layouts, so trailing dims pad to 128 lanes (and the
-    # second-to-last to 8 sublanes) — a stacked (N, 3) costs N*128 f32
-    # and a (N, 3, 3) costs N*8*128 (measured: a 'none'-mode realworld
-    # rollout OOMed at 20.9G where the unpadded estimate said 0.9G).
-    per_substep = 4 * (
-        g3 * 128          # grid_mv (g3, 3) -> 128 lanes
-        + g3              # grid_m (g3,)
-        + 3 * n * 8 * 128  # new_C + state C/F (N, 3, 3) -> (8, 128)
-        + 4 * n * 128     # x/v/new_v/stress-ish (N, 3) -> 128 lanes
-        + 30 * n          # layouts / sort (flat int arrays)
-    )
+    # The packed substep (sim/mpm.py::make_packed_substep) stores every
+    # f32 residual FLAT, so stacking over (frames, substeps) pads only
+    # the negligible lane remainder of each 1-D leaf. (Unpacked
+    # residuals padded a stacked (N, 3) to N*128 f32 and a (N, 3, 3)
+    # to N*8*128 under TPU tile layouts — a 'none'-mode realworld
+    # rollout then OOMed at 20.9 GB where unpadded math said 0.9 GB.)
+    # Per substep: state x/v/C/F (24n) + stress (9n) + new_v/new_C
+    # (12n) + pre-plasticity F (9n) = 54n f32, 4 flat grid channels,
+    # and the int sort/chunk layouts (~30n — counted twice since the
+    # scan may stack them both as carry and as residual).
+    per_substep = 4 * (4 * g3 + 54 * n + 60 * n)
     # Render residuals per frame (composite custom-VJP saves the pair
     # features + per-tile T/last; the pair builder's integer layout is
     # comparable): ~10 f32 per pair slot + 5x256 f32 per tile, per view.
@@ -298,6 +297,15 @@ def make_rollout_loss(scene: GroundingScene) -> Callable:
             build_step_layouts,
             refresh_step_layouts,
         )
+    # The substep (elasticity -> mpm_step_diff -> plasticity) runs as
+    # ONE custom_vjp with flat (1-D) residuals so the replay-free remat
+    # policy ('none') stores them unpadded — see make_packed_substep.
+    packed_substep = make_packed_substep(
+        constants,
+        statics,
+        lambda pe, F: scene.elasticity.apply(pe, F),
+        lambda pp, F: scene.plasticity.apply(pp, F),
+    )
 
     def loss_fn(params_e, params_p, init_v, frame_weights,
                 gt_images=None):
@@ -362,16 +370,12 @@ def make_rollout_loss(scene: GroundingScene) -> Callable:
 
                 def sub(c, _):
                     s, layouts = c
-                    stress = scene.elasticity.apply(params_e, s.F)
                     if layouts is not None:
                         layouts, _ = refresh_step_layouts(
                             constants, s.x, layouts
                         )
-                    s = mpm_step_diff(
-                        constants, statics, s, stress, layouts
-                    )
-                    F = scene.plasticity.apply(params_p, s.F)
-                    return (dataclasses.replace(s, F=F), layouts), None
+                    s = packed_substep(params_e, params_p, s, layouts)
+                    return (s, layouts), None
 
                 (state, layouts), _ = jax.lax.scan(
                     sub, (state, layouts), None, length=scene.substeps
