@@ -242,6 +242,13 @@ def main():
         "value": head["value"],
         "unit": "ms",
         "vs_baseline": head["vs_baseline"],
+        # vs_baseline semantics (machine-readable; BENCH_r01 recorded a
+        # 1.0 placeholder before this anchor was defined — see
+        # BENCHMARKS.md "Headline" table): analytic speed-of-light
+        # milliseconds divided by measured net (ex-tunnel-dispatch)
+        # milliseconds per frame; 1.0 == hardware roofline.
+        "baseline_semantics": "sol_ms/net_ms (roofline fraction; "
+        "reference publishes no timings)",
     }
     want_rw = (
         jax.default_backend() == "tpu"

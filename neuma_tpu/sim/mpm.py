@@ -700,7 +700,7 @@ mpm_step_diff.defvjp(_mpm_step_fwd, _mpm_step_bwd)
 # stacks every substep residual over (frames x substeps). TPU tile
 # layouts pad the trailing dims of each stacked leaf to (8, 128), so a
 # stacked (N, 3) costs N*128 f32 (42.7x) and a (N, 3, 3) costs N*8*128
-# (32x) — measured 20.9 GB where the unpadded math said 0.9 GB at the
+# (113.8x) — measured 20.9 GB where the unpadded math said 0.9 GB at the
 # realworld bench shape (30k/70^3/substeps 20/2 frames), which forced
 # that shape onto per-frame remat and its ~+94 ms/frame forward replay.
 # Storing every f32 residual FLAT (1-D) restores the unpadded footprint;
