@@ -293,7 +293,7 @@ def main(argv=None):
         cfg,
         pe0,
         pp0,
-        log_fn=lambda e, l, en, pn, d: print(
+        log_fn=lambda e, l, en, pn, d, *lrs: print(
             f"[recovery] epoch {e}/{args.epochs} loss {l:.5e}",
             file=sys.stderr,
         ) if (e == 1 or e % 10 == 0) else None,

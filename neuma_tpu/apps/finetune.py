@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from ..data.readers import VideoDataset
 from ..data.torch_ckpt import load_params_npz, save_params_npz
+from ..train.checkpoint import MetricsLogger
 from ..train.grounding import finetune_constitutive, optimize_init_velocity
 from ..train.schedulers import fetch_schedule
 from ..utils.config import load_config
@@ -63,6 +64,10 @@ def main(argv=None):
     if primary:
         cfg.save(exp_root / "config.yaml")
         Logger.tee(exp_root / "log.txt")
+    # Per-epoch scalar metrics (lr/grad-norm/loss/decay) — the
+    # observability equivalent of the reference's tensorboardX writer
+    # (finetune.py:463-468), as an appendable/tailable JSONL.
+    metrics = MetricsLogger(exp_root / "metrics.jsonl") if primary else None
     timer = Timer()
 
     data_root = Path(cfg.get("data_root", exp_root / "sim_data"))
@@ -109,6 +114,18 @@ def main(argv=None):
         schedule = fetch_schedule(
             vel_cfg.scheduler.to_dict(), float(vel_cfg.lr)
         )
+
+        def vel_log(e, l, l_rgb, v):
+            print(
+                f"[velocity] epoch {e}/{vel_cfg.num_epochs} "
+                f"loss {l:.4e} init_v {v}"
+            )
+            if metrics:
+                metrics.log(
+                    e, stage=1.0, loss=l, loss_rgb=l_rgb,
+                    lr_velocity=schedule(e - 1),
+                )
+
         result = optimize_init_velocity(
             scene_v,
             num_epochs=int(vel_cfg.num_epochs),
@@ -116,10 +133,7 @@ def main(argv=None):
             schedule=schedule,
             lambda_reg=vel_cfg.get("lambda_reg"),
             reg_all=bool(vel_cfg.get("reg_all", False)),
-            log_fn=lambda e, l, lr_, v: print(
-                f"[velocity] epoch {e}/{vel_cfg.num_epochs} "
-                f"loss {l:.4e} init_v {v}"
-            ),
+            log_fn=vel_log,
         )
         init_v = result.init_v
         if primary:
@@ -158,14 +172,35 @@ def main(argv=None):
         pp, jax.random.fold_in(key, 7), r=r, alpha=alpha
     )
 
+    # Resume: prefer the FULL train-state checkpoint (params + optimizer
+    # moments + schedule step; restored inside finetune_constitutive),
+    # falling back to LoRA-weights-only overlay with a cold optimizer —
+    # the reference's resume semantics (finetune.py:299-309).
     start_epoch = 1
-    if cfg.get("resume", False):
+    ts_path = tune_root / "train_state.npz"
+    full_resume = bool(cfg.get("resume", False)) and ts_path.is_file()
+    if full_resume:
+        print(f"Resuming full train state from {ts_path}")
+    elif cfg.get("resume", False):
         lora_tree, last_epoch = load_latest_lora(tune_root)
         if lora_tree is not None:
-            print(f"Resuming LoRA from epoch {last_epoch}")
+            print(f"Resuming LoRA from epoch {last_epoch} (weights only)")
             params_e = overlay_lora(params_e, lora_tree["elasticity"])
             params_p = overlay_lora(params_p, lora_tree["plasticity"])
             start_epoch = last_epoch + 1
+
+    def con_log(e, l, en, pn, d, lr_e, lr_p):
+        print(
+            f"[constitutive] epoch {e}/{con.num_epochs} loss {l:.4e} "
+            f"e-gd {en:.2e} p-gd {pn:.2e} decay {d:.2f} "
+            f"elp {timer.measure()}"
+        )
+        if metrics:
+            metrics.log(
+                e, stage=2.0, loss_rgb=l, grad_norm_elasticity=en,
+                grad_norm_plasticity=pn, lr_decay=d, lr_elasticity=lr_e,
+                lr_plasticity=lr_p,
+            )
 
     keep = int(con.get("num_lora_ckpts", 3))
     result = finetune_constitutive(
@@ -179,13 +214,14 @@ def main(argv=None):
                 tune_root, e, elasticity, plasticity, a, b, l, keep
             )
         ) if primary else None,
-        log_fn=lambda e, l, en, pn, d: print(
-            f"[constitutive] epoch {e}/{con.num_epochs} loss {l:.4e} "
-            f"e-gd {en:.2e} p-gd {pn:.2e} decay {d:.2f} "
-            f"elp {timer.measure()}"
-        ),
+        log_fn=con_log,
         start_epoch=start_epoch,
+        train_state_path=ts_path,
+        resume_state=full_resume,
+        write_state=primary,
     )
+    if metrics:
+        metrics.close()
     print("Finetuning ends.")
     return result
 

@@ -593,10 +593,25 @@ def finetune_constitutive(
     checkpoint_fn: Optional[Callable] = None,
     log_fn: Optional[Callable] = None,
     start_epoch: int = 1,
+    train_state_path=None,
+    resume_state: bool = False,
+    write_state: bool = True,
 ) -> ConstitutiveStageResult:
     """Stage 2 (reference finetune.py:234-488). ``cfg`` mirrors the
     reference's ``constitution`` config section. ``params_e/p`` must
-    already carry LoRA leaves (``init_lora``)."""
+    already carry LoRA leaves (``init_lora``).
+
+    ``log_fn`` receives ``(epoch, loss, e_norm, p_norm, decay, lr_e,
+    lr_p)``. ``train_state_path`` enables FULL training-state
+    checkpointing (params + optimizer moments + schedule step — beyond
+    the reference, which only persists LoRA weights and restarts the
+    optimizer cold on resume, finetune.py:299-309): the state is saved
+    at every checkpoint interval when ``write_state`` (primary host
+    only on pods), and restored — overriding ``start_epoch`` and the
+    passed params — when ``resume_state`` and the file exists."""
+    from pathlib import Path
+
+    from .checkpoint import load_train_state, save_train_state
     from .schedulers import fetch_schedule
 
     num_epochs = int(cfg["num_epochs"])
@@ -640,6 +655,19 @@ def finetune_constitutive(
     )
     e_state = e_opt.init(params_e)
     p_state = p_opt.init(params_p)
+
+    ts_path = Path(train_state_path) if train_state_path else None
+    if ts_path is not None and resume_state and ts_path.is_file():
+        template = {
+            "step": 0,
+            "params": {"e": params_e, "p": params_p},
+            "opt_state": (e_state, p_state),
+        }
+        restored = load_train_state(ts_path, template)
+        params_e = restored["params"]["e"]
+        params_p = restored["params"]["p"]
+        e_state, p_state = restored["opt_state"]
+        start_epoch = int(restored["step"]) + 1
 
     e_max_norm = float(cfg.get("elasticity_grad_max_norm", 1.0))
     p_max_norm = float(cfg.get("plasticity_grad_max_norm", 1.0))
@@ -705,11 +733,18 @@ def finetune_constitutive(
         p_norms.append(float(p_norm))
         if log_fn:
             log_fn(epoch, float(loss), float(e_norm), float(p_norm),
-                   decay_rate)
-        if checkpoint_fn and (
-            epoch == 1 or epoch % 10 == 0 or epoch == num_epochs
-        ):
+                   decay_rate, float(e_sched(epoch - 1)),
+                   float(p_sched(epoch - 1)))
+        at_ckpt = epoch == 1 or epoch % 10 == 0 or epoch == num_epochs
+        if checkpoint_fn and at_ckpt:
             checkpoint_fn(epoch, params_e, params_p, float(loss))
+        if ts_path is not None and write_state and at_ckpt:
+            save_train_state(
+                ts_path,
+                epoch,
+                {"e": params_e, "p": params_p},
+                opt_state=(e_state, p_state),
+            )
     return ConstitutiveStageResult(
         params_e=params_e,
         params_p=params_p,

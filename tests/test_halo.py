@@ -284,3 +284,39 @@ def test_bins_margin_fires_past_tolerance(rng, mesh8):
     bins_step = jax.jit(make_halo_bins_step(constants, mesh8, tol=2))
     _, margin = bins_step(part.statics, moved, stress_b)
     assert bool(jnp.any(margin))
+
+
+def test_halo_slab_width9_partial_last_slab(rng, mesh8):
+    """The real-capture grid (70^3) over 8 shards gives slab width
+    ceil(70/8) = 9 with a PARTIAL last slab (shard 7 owns only rows
+    63..69): the per-shard views extend past the physical grid, whose
+    rows must stay untapped zeros. One halo step at g=70 (blocked
+    production kernels) must match the single-device step exactly as at
+    the round sizes."""
+    constants, statics, state, stress = make_scene(rng, n=1024, g=70)
+    assert slab_width(70, 8) == 9
+
+    ref = mpm_step(constants, statics, state, stress)
+
+    part = partition_particles(constants, state, statics, 8, capacity=512)
+    assert not bool(part.overflow)
+    part_stress = jnp.where(
+        part.valid[..., None, None], stress[part.perm], 0.0
+    )
+    step = jax.jit(make_halo_sim_step(constants, mesh8))
+    new_part_state, margin_bad = step(part.statics, part.state, part_stress)
+    assert not bool(jnp.any(margin_bad))
+
+    out = unpartition(
+        dataclasses.replace(part, state=new_part_state),
+        state.x.shape[0],
+        state,
+    )
+    for name in ("x", "v", "C", "F"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)),
+            np.asarray(getattr(ref, name)),
+            atol=2e-5,
+            rtol=1e-4,
+            err_msg=f"halo mismatch in {name} (g=70, w=9)",
+        )
