@@ -558,6 +558,186 @@ def _step_sort(constants, x):
     return None
 
 
+# --- slab-space step (round 5) ---------------------------------------------
+#
+# On the TPU blocked path the grid never needs to exist densely: the
+# scatter kernel's per-block partials become halo-complete slabs
+# (p2g_kernel.halo_add_slabs), grid_op applies per slab (elementwise —
+# overlapping lines hold consistent duplicates), and the gather kernels
+# consume slabs directly. This kills the fold -> dense -> unfold round
+# trip whose channel-minor dense grids (f32[cells,3] uses 3 of 128
+# lanes) cost ~4 ms/substep of relayout churn at 70^3 (round-4 trace).
+# Values match the dense path bitwise (addition order preserved).
+
+import os as _os
+
+
+def _slab_mode() -> str:
+    """'tpu' (production), 'interpret' (CPU tests force the slab path
+    through the interpreted kernels), or 'off'."""
+    mode = _os.environ.get("NEUMA_SLAB_GRID", "auto")
+    if mode not in ("auto", "off", "interpret"):
+        raise ValueError(f"unknown NEUMA_SLAB_GRID: {mode!r}")
+    return mode
+
+
+def _use_slab_grid(constants, sort) -> bool:
+    mode = _slab_mode()
+    if mode == "off":
+        return False
+    if mode == "interpret":
+        return constants.num_grids > 24
+    return jax.default_backend() == "tpu" and constants.num_grids > 24
+
+
+def grid_op_slabs(
+    constants: MPMConstants, slabs: jnp.ndarray, nbs
+) -> jnp.ndarray:
+    """``grid_op`` applied per slab: (NB, 4, S, S*S) merged slabs with
+    channels (mv, mass) -> (NB, 4, S, S*S) with channels (velocity, 0).
+    Identical arithmetic to :func:`grid_op` (the BC test runs in global
+    coordinates derived from the block origin); overlapping slab lines
+    hold consistent duplicates because the op is elementwise."""
+    from .p2g_kernel import BLOCK, S
+
+    g = constants.num_grids
+    bound = constants.bound
+    dtype = slabs.dtype
+    NB = slabs.shape[0]
+    nbx, nby, nbz = nbs
+
+    grid_m = slabs[:, 3]  # (NB, S, S*S)
+    gv = constants.gravity.astype(dtype) * constants.dt
+    has_mass = grid_m > 0.0
+    denom = jnp.where(has_mass, grid_m + constants.eps, 1.0)
+    v = [
+        jnp.where(has_mass, slabs[:, c] / denom + gv[c], gv[c])
+        for c in range(3)
+    ]
+
+    # Global cell coordinates per slab position.
+    bidx = jnp.arange(NB, dtype=jnp.int32)
+    obx = (bidx // (nby * nbz)) * BLOCK  # (NB,)
+    oby = ((bidx // nbz) % nby) * BLOCK
+    obz = (bidx % nbz) * BLOCK
+    sx = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S * S), 2)
+    cx = obx[:, None, None] + sx
+    cy = oby[:, None, None] + (lane // S)
+    cz = obz[:, None, None] + (lane % S)
+    coords = (cx, cy, cz)
+
+    viol = []
+    for c in range(3):
+        lo = coords[c] < bound
+        hi = coords[c] >= (g - bound)
+        viol.append((lo & (v[c] < 0.0)) | (hi & (v[c] > 0.0)))
+
+    if constants.bc == "freeslip":
+        v = [jnp.where(viol[c], 0.0, v[c]) for c in range(3)]
+    elif constants.bc == "noslip":
+        any_v = viol[0] | viol[1] | viol[2]
+        v = [jnp.where(any_v, 0.0, v[c]) for c in range(3)]
+    else:
+        raise ValueError(f"invalid boundary condition: {constants.bc}")
+    return jnp.stack(v + [jnp.zeros_like(v[0])], axis=1)
+
+
+def _step_fwd_slab(constants, statics, state, stress, sort):
+    """Slab-space step forward: returns (out_state, slabs_mmv, new_v,
+    new_C). ``slabs_mmv`` (merged, halo-complete) is the only grid
+    residual the backward needs."""
+    from .p2g_kernel import (
+        _cdiv,
+        BLOCK,
+        gather_from_slabs,
+        p2g_slab_scatter,
+    )
+
+    interpret = _slab_mode() == "interpret"
+    g = constants.num_grids
+    nbs = tuple(_cdiv(g, BLOCK) for _ in range(3))
+    mass, b, affine = _p2g_terms(constants, statics, state, stress)
+    slabs_mmv = p2g_slab_scatter(
+        constants, state.x, mass, b, affine, sort, interpret=interpret
+    )
+    slabs_v = grid_op_slabs(constants, slabs_mmv, nbs)
+    kappa = 4.0 * constants.inv_dx * constants.inv_dx
+    zeros3 = jnp.zeros_like(state.x)
+    zeros33 = jnp.zeros(state.x.shape + (3,), state.x.dtype)
+    _, _, new_v, dA = gather_from_slabs(
+        constants, state.x, slabs_v, None, zeros3, zeros33,
+        derivs=False, sort=sort, interpret=interpret,
+    )
+    new_C = kappa * dA
+    out = _g2p_tail(constants, statics, state, new_v, new_C)
+    return out, slabs_mmv, new_v, new_C
+
+
+def _step_bwd_slab(constants, statics, state, stress, sort, slabs_mmv,
+                   new_v, new_C, g):
+    """Slab-space direct adjoint (same piece structure as
+    ``_mpm_step_bwd``; all grid stages stay in slab space)."""
+    from .p2g_kernel import (
+        _cdiv,
+        BLOCK,
+        gather_from_slabs,
+        p2g_slab_scatter,
+    )
+
+    interpret = _slab_mode() == "interpret"
+    gg = constants.num_grids
+    nbs = tuple(_cdiv(gg, BLOCK) for _ in range(3))
+
+    _, vjp_tail = jax.vjp(
+        lambda st, v_, C_: _g2p_tail(constants, statics, st, v_, C_),
+        state, new_v, new_C,
+    )
+    d_state_t, d_new_v, d_new_C = vjp_tail(g)
+
+    kappa = 4.0 * constants.inv_dx * constants.inv_dx
+    A2 = kappa * d_new_C
+
+    # g2p grid cotangent: tap scatter per slab + halo merge (the exact
+    # transpose of the slab gather), then the elementwise grid_op vjp.
+    d_slabs_v = p2g_slab_scatter(
+        constants, state.x, None, d_new_v, A2, sort, interpret=interpret
+    )
+    slabs_v, vjp_gop = jax.vjp(
+        lambda s_: grid_op_slabs(constants, s_, nbs), slabs_mmv
+    )
+    (d_slabs_mmv,) = vjp_gop(d_slabs_v)
+
+    # Two slab gathers: the p2g scatter adjoint and the g2p position
+    # adjoint (see blocked._apic_bwd_dual_impl).
+    mass, b, affine = _p2g_terms(constants, statics, state, stress)
+    d_x_s, dgm, db, dA = gather_from_slabs(
+        constants, state.x, d_slabs_mmv, mass, b, affine,
+        derivs=True, sort=sort, interpret=interpret,
+    )
+    d_x_g2p, _, _, _ = gather_from_slabs(
+        constants, state.x, slabs_v, None, d_new_v, A2,
+        derivs=True, sort=sort, interpret=interpret,
+    )
+
+    _, vjp_prep = jax.vjp(
+        lambda st, sr: _p2g_terms(constants, statics, st, sr),
+        state, stress,
+    )
+    d_state_p, d_stress = vjp_prep((dgm, db, dA))
+
+    d_state = ParticleState(
+        x=d_state_t.x + d_x_g2p + d_x_s + d_state_p.x,
+        v=d_state_t.v + d_state_p.v,
+        C=d_state_t.C + d_state_p.C,
+        F=d_state_t.F + d_state_p.F,
+    )
+    scrub = lambda t: jnp.nan_to_num(t, nan=0.0, posinf=0.0, neginf=0.0)
+    d_state = jax.tree_util.tree_map(scrub, d_state)
+    d_stress = scrub(d_stress)
+    return d_state, d_stress
+
+
 def mpm_step(
     constants: MPMConstants,
     statics: Statics,
@@ -575,6 +755,10 @@ def mpm_step(
     when rebuilt per primitive."""
     if sort is None:
         sort = _step_sort(constants, state.x)
+    if _use_slab_grid(constants, sort):
+        out, _, _, _ = _step_fwd_slab(constants, statics, state, stress,
+                                      sort)
+        return out
     grid_m, grid_mv = p2g(constants, statics, state, stress, "auto", sort)
     grid_v = grid_op(constants, grid_m, grid_mv)
     return g2p(constants, statics, state, grid_v, sort)
@@ -614,22 +798,46 @@ def _mpm_step_fwd(constants, statics, state, stress, sort=None):
     sort_in = sort  # keep the caller's pytree structure for the bwd
     if sort is None:
         sort = _step_sort(constants, state.x)
+    if _use_slab_grid(constants, sort):
+        out, slabs_mmv, new_v, new_C = _step_fwd_slab(
+            constants, statics, state, stress, sort
+        )
+        return out, (
+            constants, statics, state, stress, sort, sort_in,
+            (slabs_mmv,), new_v, new_C,
+        )
     grid_m, grid_mv = p2g(constants, statics, state, stress, "auto", sort)
     grid_v = grid_op(constants, grid_m, grid_mv)
     new_v, new_C = g2p_core(constants, state.x, grid_v, sort)
     out = _g2p_tail(constants, statics, state, new_v, new_C)
     return out, (
         constants, statics, state, stress, sort, sort_in,
-        grid_m, grid_mv, new_v, new_C,
+        (grid_m, grid_mv), new_v, new_C,
     )
 
 
 def _mpm_step_bwd(residuals, g):
     (
         constants, statics, state, stress, sort, sort_in,
-        grid_m, grid_mv, new_v, new_C,
+        grid_res, new_v, new_C,
     ) = residuals
     from .blocked import _apic_bwd_dual_impl, _forward_dispatch
+
+    def zero_cotangent(x):
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            return np.zeros(x.shape, jax.dtypes.float0)
+        return jnp.zeros_like(x)
+
+    if len(grid_res) == 1:  # slab-space residuals (see _step_fwd_slab)
+        d_state, d_stress = _step_bwd_slab(
+            constants, statics, state, stress, sort, grid_res[0],
+            new_v, new_C, g,
+        )
+        d_statics = jax.tree_util.tree_map(zero_cotangent, statics)
+        d_constants = jax.tree_util.tree_map(zero_cotangent, constants)
+        d_sort = jax.tree_util.tree_map(zero_cotangent, sort_in)
+        return d_constants, d_statics, d_state, d_stress, d_sort
+    grid_m, grid_mv = grid_res
 
     # 1. tail (F update / advection / clamp / freeze): cheap elementwise
     #    re-run under jax.vjp.
@@ -737,21 +945,33 @@ def _unpack_layouts(packed):
 
 def _pack_step_res(res):
     (constants, statics, state, stress, sort, sort_in,
-     grid_m, grid_mv, new_v, new_C) = res
+     grid_res, new_v, new_C) = res
+    if len(grid_res) == 1:  # slab residuals: one merged slab array
+        grid_packed = (_flat(grid_res[0]),)
+    else:
+        grid_m, grid_mv = grid_res
+        grid_packed = (grid_m, _flat(grid_mv))
     return (
         constants, statics,
         jax.tree_util.tree_map(_flat, state),
         _flat(stress),
         _pack_layouts(sort), _pack_layouts(sort_in),
-        grid_m, _flat(grid_mv), _flat(new_v), _flat(new_C),
+        grid_packed, _flat(new_v), _flat(new_C),
     )
 
 
 def _unpack_step_res(packed):
     (constants, statics, fs, stress, sort, sort_in,
-     grid_m, grid_mv, new_v, new_C) = packed
+     grid_packed, new_v, new_C) = packed
     n = fs.x.size // 3
-    g3 = grid_m.size
+    if len(grid_packed) == 1:  # slab residuals
+        from .p2g_kernel import _cdiv as _cd, BLOCK, S
+
+        nb = _cd(constants.num_grids, BLOCK) ** 3
+        grid_res = (grid_packed[0].reshape(nb, 4, S, S * S),)
+    else:
+        grid_m, grid_mv = grid_packed
+        grid_res = (grid_m, grid_mv.reshape(grid_m.size, 3))
     state = ParticleState(
         x=fs.x.reshape(n, 3), v=fs.v.reshape(n, 3),
         C=fs.C.reshape(n, 3, 3), F=fs.F.reshape(n, 3, 3),
@@ -759,8 +979,7 @@ def _unpack_step_res(packed):
     return (
         constants, statics, state, stress.reshape(n, 3, 3),
         _unpack_layouts(sort), _unpack_layouts(sort_in),
-        grid_m, grid_mv.reshape(g3, 3),
-        new_v.reshape(n, 3), new_C.reshape(n, 3, 3),
+        grid_res, new_v.reshape(n, 3), new_C.reshape(n, 3, 3),
     )
 
 

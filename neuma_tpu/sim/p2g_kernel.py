@@ -889,3 +889,161 @@ def apic_gather_tpu(
     return dx, dgm, db, dA
 
 
+
+
+# --------------------------------------------------------------------------
+# slab-space grid chain (round 5)
+# --------------------------------------------------------------------------
+#
+# The fold -> dense grid -> unfold round trip between the scatter and
+# gather kernels materialized channel-minor dense grids (f32[cells,3]
+# tiles use 3 of 128 lanes -> ~42x padded arrays; the round-4 trace
+# showed ~4 ms/substep of pure pad/slice/transpose churn at 70^3).
+# Because every consumer of the dense grid is either elementwise
+# (grid_op) or reads per-block slabs (the gather kernels), the step can
+# stay in SLAB space end to end:
+#
+#   partials --scatter-add--> per-block sums --halo_add--> slabs
+#     (slab b then holds exactly unfold(fold(partials))[b], i.e. a
+#      consistent duplicated view of the dense grid)
+#   grid_op applies per slab (elementwise; duplicates stay consistent),
+#   and the gather kernels consume slabs directly.
+#
+# Slabs are carried in the MERGED form (NB, 4, S, S*S): the minor dim is
+# S^2 = 256 (two full lane tiles, zero padding waste) vs S = 16 (8x
+# padded) for the split form; one reshape to (NB, 4, S, S, S) happens at
+# the kernel boundary. Addition order inside halo_add matches
+# ``blocked._fold_blocks`` (z, then y, then x; core + carried tail per
+# line) so slab values equal the dense path's bit for bit (commutative
+# two-operand adds only).
+
+
+def _shift_blocks(t, ax, direction):
+    """Shift along a block axis: direction -1 brings block b+1's values
+    to slot b (zero at the end), +1 brings b-1's (zero at the start)."""
+    n = t.shape[ax]
+    pad = [(0, 0)] * t.ndim
+    if direction == -1:
+        y = jax.lax.slice_in_dim(t, 1, n, axis=ax)
+        pad[ax] = (0, 1)
+    else:
+        y = jax.lax.slice_in_dim(t, 0, n - 1, axis=ax)
+        pad[ax] = (1, 0)
+    return jnp.pad(y, pad)
+
+
+def halo_add_slabs(pb: jnp.ndarray, nbs) -> jnp.ndarray:
+    """Per-block partial sums -> halo-complete slabs (both
+    (NB, CH, S, S*S) merged form).
+
+    Per axis, slab line l of block b holds dense grid line 14*b + l:
+    its value is the owning block's core plus the previous block's
+    2-line tail (head lines) or the next block's core plus the own tail
+    (tail lines) — exactly ``unfold(fold(pb))`` without the dense
+    detour."""
+    nbx, nby, nbz = nbs
+    NB, ch = pb.shape[0], pb.shape[1]
+    B = BLOCK
+    t = pb.reshape(nbx, nby, nbz, ch, S, S * S)
+
+    # -- z pass: z = lane % S. Head lines (z < 2) gain the previous
+    # block's tail (z + 14); tail lines (z >= 14) are the NEXT block's
+    # core plus the own tail (same operand order as _fold_axis).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, 1, S * S), 5)
+    zmod = lane % S
+    prev = _shift_blocks(t, 2, +1)
+    nxt = _shift_blocks(t, 2, -1)
+    prev_tail = jnp.roll(prev, -B, axis=-1)  # lane l <- l + 14
+    next_core = jnp.roll(nxt, B, axis=-1)  # lane l <- l - 14
+    t = jnp.where(
+        zmod < 2,
+        t + prev_tail,
+        jnp.where(zmod >= B, next_core + t, t),
+    )
+
+    # -- y pass: y = lane // S; contiguous lane ranges.
+    prev = _shift_blocks(t, 1, +1)
+    nxt = _shift_blocks(t, 1, -1)
+    head = t[..., : 2 * S] + prev[..., B * S :]
+    mid = t[..., 2 * S : B * S]
+    tail = nxt[..., : 2 * S] + t[..., B * S :]
+    t = jnp.concatenate([head, mid, tail], axis=-1)
+
+    # -- x pass: the S (sublane) axis.
+    prev = _shift_blocks(t, 0, +1)
+    nxt = _shift_blocks(t, 0, -1)
+    head = (
+        jax.lax.slice_in_dim(t, 0, 2, axis=4)
+        + jax.lax.slice_in_dim(prev, B, S, axis=4)
+    )
+    mid = jax.lax.slice_in_dim(t, 2, B, axis=4)
+    tail = (
+        jax.lax.slice_in_dim(nxt, 0, 2, axis=4)
+        + jax.lax.slice_in_dim(t, B, S, axis=4)
+    )
+    t = jnp.concatenate([head, mid, tail], axis=4)
+    return t.reshape(NB, ch, S, S * S)
+
+
+def p2g_slab_scatter(
+    constants: MPMConstants,
+    x: jnp.ndarray,
+    gm: Optional[jnp.ndarray],
+    b: jnp.ndarray,
+    A: jnp.ndarray,
+    sort=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Blocked APIC scatter straight to halo-complete slabs
+    (NB, 4, S, S*S): the slab-space replacement for
+    ``p2g_blocked_pallas`` + ``unfold_blocks`` (channel 3 carries mass,
+    zero when ``gm`` is None). Full-cube views only (``geom=None``)."""
+    g = constants.num_grids
+    dims = (g, g, g)
+    nbs = tuple(_cdiv(d, BLOCK) for d in dims)
+    NB = nbs[0] * nbs[1] * nbs[2]
+    layout, bsort = _resolve_layout(constants, x, CHUNK, sort, None)
+    payload = pack_payload(constants, layout, bsort.fx, bsort.loc, gm, b, A)
+    M = layout.c2b.shape[0]
+    partials = run_p2g_fwd(payload, M, interpret=interpret)
+    pb = (
+        jnp.zeros((NB, 4, S, S * S), partials.dtype)
+        .at[layout.c2b]
+        .add(partials)
+    )
+    return halo_add_slabs(pb, nbs)
+
+
+def gather_from_slabs(
+    constants: MPMConstants,
+    x: jnp.ndarray,
+    slabs: jnp.ndarray,
+    gm: Optional[jnp.ndarray],
+    b: jnp.ndarray,
+    A: jnp.ndarray,
+    derivs: bool = True,
+    sort=None,
+    interpret: bool = False,
+):
+    """Blocked tap-gather against pre-built merged slabs — the
+    slab-space ``apic_gather_tpu`` (no dense grid, no unfold). Returns
+    (dx, dgm, db, dA) like ``apic_gather_tpu``."""
+    n = x.shape[0]
+    NB = slabs.shape[0]
+    layout, bsort = _resolve_layout(constants, x, GATHER_CHUNK, sort, None)
+    payload = pack_payload(constants, layout, bsort.fx, bsort.loc, gm, b, A)
+    out = run_apic_gather(
+        payload,
+        slabs.reshape(NB, 4, S, S, S),
+        layout.c2b,
+        layout.c2b.shape[0],
+        float(constants.inv_dx),
+        derivs,
+        interpret=interpret,
+    )
+    res = out[layout.dest]  # (N, 16)
+    dgm = res[:, 0] if gm is not None else None
+    db = res[:, 1:4]
+    dA = res[:, 4:13].reshape(n, 3, 3)
+    dx = res[:, 13:16]
+    return dx, dgm, db, dA
