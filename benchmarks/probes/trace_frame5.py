@@ -59,7 +59,7 @@ out = grad_frame(pe, pp, state0)
 jax.block_until_ready(out)
 print(f"frame fwd+bwd: {(time.perf_counter()-t0)*1000:.1f} ms")
 
-with jax.profiler.trace("/tmp/trace_frame5"):
+with jax.profiler.trace("/tmp/trace_frame5b"):
     out = grad_frame(pe, pp, state0)
     jax.block_until_ready(out)
 print("trace done")

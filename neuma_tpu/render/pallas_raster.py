@@ -126,6 +126,7 @@ def _alpha_terms(scratch, px, py):
 
 def _fwd_kernel(
     starts_ref,  # scalar prefetch: (num_tiles_pad+1,) int32 pair offsets
+    counts_ref,  # scalar prefetch: (num_tiles_pad,) int32 TRUE pair counts
     pairs_hbm,  # (P, PAIR_W) f32 in ANY/HBM
     t_out,  # (GROUP, PIX)
     c_out,  # (GROUP, 3*PIX)
@@ -159,7 +160,8 @@ def _fwd_kernel(
         t = p * GROUP + j
         start = starts_ref[t]
         end = starts_ref[t + 1]
-        n = end - start
+        n = end - start  # CHUNK-aligned range length
+        n_true = counts_ref[t]  # true pair count (pad slots masked)
         px, py = _pixel_coords(t, tiles_x)
 
         def chunk_body(ci, carry):
@@ -179,7 +181,7 @@ def _fwd_kernel(
             )
             (ca, cb, cc, op, r, g, b) = feats
             rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-            live = (ci * CHUNK + rows) < n  # (CHUNK, 1)
+            live = (ci * CHUNK + rows) < n_true  # (CHUNK, 1)
             valid = valid & live
             a_val = jnp.where(valid, alpha, 0.0)
             q = 1.0 - a_val  # (CHUNK, PIX)
@@ -242,6 +244,7 @@ def _fwd_kernel(
 
 def _bwd_kernel(
     starts_ref,  # scalar prefetch
+    counts_ref,  # scalar prefetch: true per-tile counts
     pairs_hbm,  # (P, PAIR_W) ANY
     t_final_ref,  # (GROUP, PIX) forward T
     last_ref,  # (GROUP, PIX) f32 last contributor
@@ -292,6 +295,7 @@ def _bwd_kernel(
         start = starts_ref[t]
         end = starts_ref[t + 1]
         n = end - start
+        n_true = counts_ref[t]
         px, py = _pixel_coords(t, tiles_x)
         T_final = t_final_ref[pl.ds(j, 1), :]
         last = last_ref[pl.ds(j, 1), :]
@@ -320,7 +324,7 @@ def _bwd_kernel(
             (ca, cb, cc, op, r, g, b) = feats
             rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
             idx = (base + rows).astype(jnp.float32)
-            live = (ci * CHUNK + rows) < n
+            live = (ci * CHUNK + rows) < n_true
             contribute = valid & live & (idx <= last)
 
             a_val = jnp.where(contribute, alpha, 0.0)
@@ -429,37 +433,44 @@ def _pack_pairs(pair_mean2d, pair_conic, pair_opacity, pair_colors):
     )
 
 
-def _padded_starts(tile_start, num_tiles):
-    """Pad the offsets array so padded tiles get empty ranges."""
+def _padded_starts(tile_start, tile_counts, num_tiles):
+    """Pad the offsets/counts arrays so padded tiles get empty ranges."""
     num_pad = ((num_tiles + GROUP - 1) // GROUP) * GROUP
     if num_pad == num_tiles:
-        return tile_start, num_pad
+        return tile_start, tile_counts, num_pad
     pad = jnp.broadcast_to(tile_start[-1:], (num_pad - num_tiles,))
-    return jnp.concatenate([tile_start, pad]), num_pad
+    zpad = jnp.zeros((num_pad - num_tiles,), tile_counts.dtype)
+    return (
+        jnp.concatenate([tile_start, pad]),
+        jnp.concatenate([tile_counts, zpad]),
+        num_pad,
+    )
 
 
 def _composite_fwd_impl(
     pair_mean2d, pair_conic, pair_opacity, pair_colors,
-    tile_start, tiles_x, interpret,
+    tile_start, tile_counts, tiles_x, interpret,
 ):
     pairs = _pack_pairs(
         pair_mean2d, pair_conic, pair_opacity, pair_colors
     )
     num_tiles = tile_start.shape[0] - 1
-    starts_pad, num_pad = _padded_starts(tile_start, num_tiles)
+    starts_pad, counts_pad, num_pad = _padded_starts(
+        tile_start, tile_counts, num_tiles
+    )
     P = pairs.shape[0]
     assert P % CHUNK == 0, f"pair count {P} must be a multiple of {CHUNK}"
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_pad // GROUP,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
-            pl.BlockSpec((GROUP, PIX), lambda t, s: (t, 0),
+            pl.BlockSpec((GROUP, PIX), lambda t, s, c: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, 3 * PIX), lambda t, s: (t, 0),
+            pl.BlockSpec((GROUP, 3 * PIX), lambda t, s, c: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, PIX), lambda t, s: (t, 0),
+            pl.BlockSpec((GROUP, PIX), lambda t, s, c: (t, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -476,41 +487,43 @@ def _composite_fwd_impl(
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(starts_pad, pairs)
+    )(starts_pad, counts_pad, pairs)
     return T[:num_tiles], C[:num_tiles], last[:num_tiles]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def composite_pairs_tpu(
     pair_mean2d,  # (P, 2) gathered per pair (padding: anything)
     pair_conic,  # (P, 3)
-    pair_opacity,  # (P,) — MUST be 0 for padding slots
+    pair_opacity,  # (P,) — pad slots are masked by tile_counts
     pair_colors,  # (P, 3)
     tile_start,  # (num_tiles+1,) int32, CHUNK-aligned tile ranges
+    tile_counts,  # (num_tiles,) int32 TRUE per-tile pair counts
     tiles_x: int,
     interpret: bool = False,
 ):
     """Per-tile compositing core. Returns (T (num_tiles, 256),
     C (num_tiles, 768)). ``tile_start`` ranges MUST be CHUNK-aligned so
-    backward DMA writes never cross tile boundaries."""
+    backward DMA writes never cross tile boundaries; slots past
+    ``tile_counts[t]`` within a range are ignored."""
     T, C, _ = _composite_fwd_impl(
         pair_mean2d, pair_conic, pair_opacity, pair_colors,
-        tile_start, tiles_x, interpret,
+        tile_start, tile_counts, tiles_x, interpret,
     )
     return T, C
 
 
 def _composite_vjp_fwd(
     pair_mean2d, pair_conic, pair_opacity, pair_colors,
-    tile_start, tiles_x, interpret,
+    tile_start, tile_counts, tiles_x, interpret,
 ):
     T, C, last = _composite_fwd_impl(
         pair_mean2d, pair_conic, pair_opacity, pair_colors,
-        tile_start, tiles_x, interpret,
+        tile_start, tile_counts, tiles_x, interpret,
     )
     res = (
         pair_mean2d, pair_conic, pair_opacity, pair_colors,
-        tile_start, T, last,
+        tile_start, tile_counts, T, last,
     )
     return (T, C), res
 
@@ -518,14 +531,16 @@ def _composite_vjp_fwd(
 def _composite_vjp_bwd(tiles_x, interpret, res, cots):
     (
         pair_mean2d, pair_conic, pair_opacity, pair_colors,
-        tile_start, T, last,
+        tile_start, tile_counts, T, last,
     ) = res
     dT, dC = cots
     pairs = _pack_pairs(
         pair_mean2d, pair_conic, pair_opacity, pair_colors
     )
     num_tiles = tile_start.shape[0] - 1
-    starts_pad, num_pad = _padded_starts(tile_start, num_tiles)
+    starts_pad, counts_pad, num_pad = _padded_starts(
+        tile_start, tile_counts, num_tiles
+    )
     P = pairs.shape[0]
 
     def pad_rows(x, fill=0.0):
@@ -541,17 +556,17 @@ def _composite_vjp_bwd(tiles_x, interpret, res, cots):
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_pad // GROUP,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # pairs
-            pl.BlockSpec((GROUP, PIX), lambda t, s: (t, 0),
+            pl.BlockSpec((GROUP, PIX), lambda t, s, c: (t, 0),
                          memory_space=pltpu.VMEM),  # T
-            pl.BlockSpec((GROUP, PIX), lambda t, s: (t, 0),
+            pl.BlockSpec((GROUP, PIX), lambda t, s, c: (t, 0),
                          memory_space=pltpu.VMEM),  # last
-            pl.BlockSpec((GROUP, PIX), lambda t, s: (t, 0),
+            pl.BlockSpec((GROUP, PIX), lambda t, s, c: (t, 0),
                          memory_space=pltpu.VMEM),  # dT
-            pl.BlockSpec((GROUP, 3 * PIX), lambda t, s: (t, 0),
+            pl.BlockSpec((GROUP, 3 * PIX), lambda t, s, c: (t, 0),
                          memory_space=pltpu.VMEM),  # dC
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -570,6 +585,7 @@ def _composite_vjp_bwd(tiles_x, interpret, res, cots):
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
         starts_pad,
+        counts_pad,
         pairs,
         pad_rows(T, 1.0),
         pad_rows(last, -1.0),
@@ -588,7 +604,11 @@ def _composite_vjp_bwd(tiles_x, interpret, res, cots):
     d_opacity = dpairs[:, 5]
     d_colors = dpairs[:, 6:9]
     d_tile_start = np.zeros(tile_start.shape, jax.dtypes.float0)
-    return (d_mean2d, d_conic, d_opacity, d_colors, d_tile_start)
+    d_tile_counts = np.zeros(tile_counts.shape, jax.dtypes.float0)
+    return (
+        d_mean2d, d_conic, d_opacity, d_colors, d_tile_start,
+        d_tile_counts,
+    )
 
 
 composite_pairs_tpu.defvjp(_composite_vjp_fwd, _composite_vjp_bwd)

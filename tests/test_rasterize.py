@@ -306,7 +306,7 @@ def test_builders_agree_at_realcapture_resolution():
     tile_mat, tiles_x, tiles_y, ovf1 = jax.jit(
         lambda *a: _build_tile_lists(*a, w, h, cfg)
     )(depth, vis, m2d, radius)
-    pair_gid, pair_valid, tile_start, tx2, ty2, ovf2, _ = jax.jit(
+    pair_gid, tile_counts, tile_start, tx2, ty2, ovf2, _ = jax.jit(
         lambda *a: _build_aligned_pairs(*a, w, h, cfg)
     )(depth, vis, m2d, radius)
     assert (tiles_x, tiles_y) == (tx2, ty2) == (120, 68)
@@ -314,16 +314,16 @@ def test_builders_agree_at_realcapture_resolution():
 
     tile_mat = np.asarray(tile_mat)
     pair_gid = np.asarray(pair_gid)
-    pair_valid = np.asarray(pair_valid)
+    tile_counts = np.asarray(tile_counts)
     tile_start = np.asarray(tile_start)
     # Both builders emit per-tile DEPTH-ordered lists -> lists match
-    # elementwise, not just as sets.
+    # elementwise, not just as sets. Valid slots are the first
+    # tile_counts[t] of each aligned range (pad slots carry arbitrary
+    # ids and are masked by the kernels).
     rng_t = np.random.default_rng(0)
     for t in rng_t.integers(0, tiles_x * tiles_y, 200):
-        a, b = tile_start[t], tile_start[t + 1]
-        lst = [
-            pair_gid[j] for j in range(a, b) if pair_valid[j]
-        ]
+        a = tile_start[t]
+        lst = list(pair_gid[a : a + tile_counts[t]])
         ref = [g for g in tile_mat[t] if g >= 0]
         assert lst == ref, (t, lst[:5], ref[:5])
 
@@ -379,7 +379,7 @@ def test_builders_agree_fuzz(seed):
         tile_mat, tiles_x, tiles_y, ovf1 = jax.jit(
             lambda *a: _build_tile_lists(*a, w, h, cfg)
         )(depth, vis, m2d, radius)
-        pair_gid, pair_valid, tile_start, _, _, ovf2, _ = jax.jit(
+        pair_gid, tile_counts, tile_start, _, _, ovf2, _ = jax.jit(
             lambda *a: _build_aligned_pairs(*a, w, h, cfg)
         )(depth, vis, m2d, radius)
         assert bool(ovf2) == expect_ovf, (max_pairs, total)
@@ -387,11 +387,11 @@ def test_builders_agree_fuzz(seed):
             continue  # layouts may drop pairs, only the flag matters
         tile_mat = np.asarray(tile_mat)
         pair_gid = np.asarray(pair_gid)
-        pair_valid = np.asarray(pair_valid)
+        tile_counts = np.asarray(tile_counts)
         tile_start = np.asarray(tile_start)
         for t in range(tiles_x * tiles_y):
             a, b = tile_start[t], tile_start[t + 1]
-            lst = [pair_gid[j] for j in range(a, b) if pair_valid[j]]
+            lst = list(pair_gid[a : a + tile_counts[t]])
             ref = [g for g in tile_mat[t] if g >= 0]
             assert lst == ref, (seed, max_pairs, t)
 
@@ -458,12 +458,23 @@ def test_counting_binner_matches_sort_binner(seed):
             )(depth, vis, m2d, radius)
             for mode, cfg in cfgs.items()
         }
-        for i, name in [(0, "pair_gid"), (1, "pair_valid"),
-                        (2, "tile_start")]:
+        for i, name in [(1, "tile_counts"), (2, "tile_start")]:
             np.testing.assert_array_equal(
                 np.asarray(al["counting"][i]),
                 np.asarray(al["sort"][i]),
                 err_msg=f"{name} (budget {max_pairs})",
+            )
+        # pair_gid: pad slots past each tile's true count carry
+        # binner-specific arbitrary ids — compare the valid prefixes.
+        gc = np.asarray(al["counting"][0])
+        gs = np.asarray(al["sort"][0])
+        starts = np.asarray(al["counting"][2])
+        cnts = np.asarray(al["counting"][1])
+        for t in range(len(cnts)):
+            a = starts[t]
+            np.testing.assert_array_equal(
+                gc[a : a + cnts[t]], gs[a : a + cnts[t]],
+                err_msg=f"pair_gid tile {t} (budget {max_pairs})",
             )
         assert bool(al["counting"][5]) == bool(al["sort"][5])
 
