@@ -50,7 +50,7 @@ out = grad_render(k_xyz)
 jax.block_until_ready(out)
 print(f"render 3x1080p fwd+bwd: {(time.perf_counter()-t0)*1000:.1f} ms")
 
-with jax.profiler.trace("/tmp/trace_render5b"):
+with jax.profiler.trace("/tmp/trace_render5c"):
     out = grad_render(k_xyz)
     jax.block_until_ready(out)
 print("trace done")

@@ -417,19 +417,12 @@ def _bwd_kernel(
         write_dma(1, group_start).wait()  # block 1 -> slot 1
 
 
-def _pack_pairs(pair_mean2d, pair_conic, pair_opacity, pair_colors):
-    """Pack per-pair features into (P, PAIR_W). Padding pairs must carry
-    opacity 0 (=> alpha < 1/255 => skipped by the kernels)."""
-    P = pair_mean2d.shape[0]
+def _pack_pairs(pair_feats):
+    """Pad the (P, 9) per-pair features to (P, PAIR_W). Pad slots within
+    tile ranges are masked by the kernels' per-tile count."""
+    P = pair_feats.shape[0]
     return jnp.concatenate(
-        [
-            pair_mean2d,
-            pair_conic,
-            pair_opacity[:, None],
-            pair_colors,
-            jnp.zeros((P, PAIR_W - 9), jnp.float32),
-        ],
-        axis=1,
+        [pair_feats, jnp.zeros((P, PAIR_W - 9), jnp.float32)], axis=1
     )
 
 
@@ -448,12 +441,9 @@ def _padded_starts(tile_start, tile_counts, num_tiles):
 
 
 def _composite_fwd_impl(
-    pair_mean2d, pair_conic, pair_opacity, pair_colors,
-    tile_start, tile_counts, tiles_x, interpret,
+    pair_feats, tile_start, tile_counts, tiles_x, interpret,
 ):
-    pairs = _pack_pairs(
-        pair_mean2d, pair_conic, pair_opacity, pair_colors
-    )
+    pairs = _pack_pairs(pair_feats)
     num_tiles = tile_start.shape[0] - 1
     starts_pad, counts_pad, num_pad = _padded_starts(
         tile_start, tile_counts, num_tiles
@@ -491,12 +481,9 @@ def _composite_fwd_impl(
     return T[:num_tiles], C[:num_tiles], last[:num_tiles]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def composite_pairs_tpu(
-    pair_mean2d,  # (P, 2) gathered per pair (padding: anything)
-    pair_conic,  # (P, 3)
-    pair_opacity,  # (P,) — pad slots are masked by tile_counts
-    pair_colors,  # (P, 3)
+    pair_feats,  # (P, 9): mean2d | conic | opacity | rgb
     tile_start,  # (num_tiles+1,) int32, CHUNK-aligned tile ranges
     tile_counts,  # (num_tiles,) int32 TRUE per-tile pair counts
     tiles_x: int,
@@ -505,38 +492,36 @@ def composite_pairs_tpu(
     """Per-tile compositing core. Returns (T (num_tiles, 256),
     C (num_tiles, 768)). ``tile_start`` ranges MUST be CHUNK-aligned so
     backward DMA writes never cross tile boundaries; slots past
-    ``tile_counts[t]`` within a range are ignored."""
+    ``tile_counts[t]`` within a range are ignored. The single (P, 9)
+    feature operand keeps the backward to ONE (P, 9) cotangent slice —
+    the previous four-operand signature made AD split dpairs into four
+    pieces and re-concatenate them for the feature-gather transpose
+    (~5.6 ms/frame of pure copies at 3x1080p).
+
+    Rows past ``tile_start[-1]`` of the backward's dpairs output are
+    never written by any grid step and may contain garbage — callers
+    must drop them (``rasterize._gather_pair_feats_scatter`` routes
+    them to an out-of-bounds scatter index)."""
     T, C, _ = _composite_fwd_impl(
-        pair_mean2d, pair_conic, pair_opacity, pair_colors,
-        tile_start, tile_counts, tiles_x, interpret,
+        pair_feats, tile_start, tile_counts, tiles_x, interpret,
     )
     return T, C
 
 
 def _composite_vjp_fwd(
-    pair_mean2d, pair_conic, pair_opacity, pair_colors,
-    tile_start, tile_counts, tiles_x, interpret,
+    pair_feats, tile_start, tile_counts, tiles_x, interpret,
 ):
     T, C, last = _composite_fwd_impl(
-        pair_mean2d, pair_conic, pair_opacity, pair_colors,
-        tile_start, tile_counts, tiles_x, interpret,
+        pair_feats, tile_start, tile_counts, tiles_x, interpret,
     )
-    res = (
-        pair_mean2d, pair_conic, pair_opacity, pair_colors,
-        tile_start, tile_counts, T, last,
-    )
+    res = (pair_feats, tile_start, tile_counts, T, last)
     return (T, C), res
 
 
 def _composite_vjp_bwd(tiles_x, interpret, res, cots):
-    (
-        pair_mean2d, pair_conic, pair_opacity, pair_colors,
-        tile_start, tile_counts, T, last,
-    ) = res
+    (pair_feats, tile_start, tile_counts, T, last) = res
     dT, dC = cots
-    pairs = _pack_pairs(
-        pair_mean2d, pair_conic, pair_opacity, pair_colors
-    )
+    pairs = _pack_pairs(pair_feats)
     num_tiles = tile_start.shape[0] - 1
     starts_pad, counts_pad, num_pad = _padded_starts(
         tile_start, tile_counts, num_tiles
@@ -593,22 +578,13 @@ def _composite_vjp_bwd(tiles_x, interpret, res, cots):
         pad_rows(dC),
     )
 
-    # Rows beyond the last tile range are never written by any grid step:
-    # zero them (and any NaN garbage) explicitly.
-    row = jnp.arange(P, dtype=jnp.int32)
-    in_range = row < tile_start[-1]
-    dpairs = jnp.where(in_range[:, None], dpairs, 0.0)
-
-    d_mean2d = dpairs[:, 0:2]
-    d_conic = dpairs[:, 2:5]
-    d_opacity = dpairs[:, 5]
-    d_colors = dpairs[:, 6:9]
+    # Rows beyond the last tile range are never written by any grid
+    # step and may hold garbage — the caller's feature-gather transpose
+    # drops them by scatter index (no (P, PAIR_W)-sized mask here).
+    d_pf = dpairs[:, 0:9]
     d_tile_start = np.zeros(tile_start.shape, jax.dtypes.float0)
     d_tile_counts = np.zeros(tile_counts.shape, jax.dtypes.float0)
-    return (
-        d_mean2d, d_conic, d_opacity, d_colors, d_tile_start,
-        d_tile_counts,
-    )
+    return (d_pf, d_tile_start, d_tile_counts)
 
 
 composite_pairs_tpu.defvjp(_composite_vjp_fwd, _composite_vjp_bwd)

@@ -395,11 +395,11 @@ def _tile_starts(sorted_tile, pair_idx, num_tiles):
     tiles resolve to the next nonempty tile's start; the dummy tile
     (id == num_tiles) caps the range.
 
-    The binary search is log2(P) rounds of (num_tiles,)-sized gathers —
-    measured 18x cheaper on v5e than the previous scatter-min + suffix
-    cummin (a 2.3 ms P-indexed scatter per view at 1<<18; scatters cost
-    ~10 ns/index on TPU while the search gathers touch only
-    num_tiles * 18 elements)."""
+    The binary search is log2(P) rounds of (num_tiles,)-sized gathers;
+    the previous scatter-min + suffix cummin paid a P-indexed scatter
+    (2.3 ms/view at 1<<18 in the round-5 trace — TPU scatters cost
+    ~10 ns/index) while the search touches only num_tiles * log2(P)
+    elements."""
     bins = jnp.arange(num_tiles + 1, dtype=sorted_tile.dtype)
     return jnp.searchsorted(sorted_tile, bins, side="left").astype(
         jnp.int32
@@ -727,6 +727,37 @@ def _gather_pair_feats_bwd(res, d_pf):
 _gather_pair_feats.defvjp(_gather_pair_feats_fwd, _gather_pair_feats_bwd)
 
 
+@jax.custom_vjp
+def _gather_pair_feats_scatter(feats, pair_gid, live_gid):
+    """``feats[pair_gid]`` whose transpose scatter-adds by ``live_gid``
+    — identical to AD's transpose except that dead rows (pad slots past
+    ``tile_start[-1]``, whose cotangents are unwritten kernel-output
+    garbage) carry an out-of-bounds index and are dropped by the
+    scatter, so no (P,)-sized validity mask is ever materialized."""
+    del live_gid
+    return feats[pair_gid]
+
+
+def _gather_pair_feats_scatter_fwd(feats, pair_gid, live_gid):
+    return feats[pair_gid], (feats.shape, pair_gid, live_gid)
+
+
+def _gather_pair_feats_scatter_bwd(res, d_pf):
+    (n, ch), pair_gid, live_gid = res
+    d_feats = (
+        jnp.zeros((n, ch), d_pf.dtype)
+        .at[live_gid]
+        .add(d_pf, mode="drop")
+    )
+    zero_int = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return d_feats, zero_int(pair_gid), zero_int(live_gid)
+
+
+_gather_pair_feats_scatter.defvjp(
+    _gather_pair_feats_scatter_fwd, _gather_pair_feats_scatter_bwd
+)
+
+
 def _composite(
     tile_mat: jnp.ndarray,  # (num_tiles, S) gaussian ids, -1 padded
     mean2d: jnp.ndarray,
@@ -943,16 +974,18 @@ def rasterize_with_aux(
         if glue is not None:
             pf = _gather_pair_feats(feats, pair_gid, glue)
         else:
-            pf = feats[pair_gid]
-        pair_mean2d = pf[:, 0:2]
-        pair_conic = pf[:, 2:5]
-        pair_opacity = pf[:, 5]
-        pair_colors = pf[:, 6:9]
+            # Rows past tile_start[-1] of the composite backward's
+            # per-pair cotangents are unwritten garbage; route their
+            # scatter index out of bounds so the transpose drops them.
+            live_gid = jnp.where(
+                jnp.arange(pair_gid.shape[0], dtype=jnp.int32)
+                < tile_start[-1],
+                pair_gid,
+                feats.shape[0],
+            )
+            pf = _gather_pair_feats_scatter(feats, pair_gid, live_gid)
         T, Cflat = composite_pairs_tpu(
-            pair_mean2d,
-            pair_conic,
-            pair_opacity,
-            pair_colors,
+            pf,
             tile_start,
             tile_counts,
             tiles_x,
