@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import bench
-from neuma_tpu.render import rasterize as rz
+import neuma_tpu.render.rasterize as rz
 
 p = bench.SCENARIOS["realworld"]
 scene = bench.build_scene(p)

@@ -137,7 +137,7 @@ def roundtrip(s):
     res = (
         res0[0], res0[1],
         dataclasses.replace(res0[2], x=s.x), res0[3], res0[4],
-        res0[5], res0[6], res0[7], res0[8], res0[9],
+        res0[5], res0[6], res0[7], res0[8],
     )
     packed_res = mpm._pack_step_res(res)
     res2 = mpm._unpack_step_res(packed_res)

@@ -29,6 +29,7 @@ and (b) scrubs NaN/Inf cotangents exactly like the reference's
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -568,8 +569,6 @@ def _step_sort(constants, x):
 # trip whose channel-minor dense grids (f32[cells,3] uses 3 of 128
 # lanes) cost ~4 ms/substep of relayout churn at 70^3 (round-4 trace).
 # Values match the dense path bitwise (addition order preserved).
-
-import os as _os
 
 
 def _slab_mode() -> str:
