@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
 from functools import partial
 from typing import Callable, List, Optional, Sequence, Tuple
 
@@ -671,6 +672,24 @@ def finetune_constitutive(
 
     e_max_norm = float(cfg.get("elasticity_grad_max_norm", 1.0))
     p_max_norm = float(cfg.get("plasticity_grad_max_norm", 1.0))
+    # Non-finite-gradient policy (SURVEY 5.3). 'raise' (default) treats
+    # a non-finite TOTAL gradient as a hard failure. 'skip' reproduces
+    # the reference's degrade-and-continue semantics for full-horizon
+    # runs: its per-step nan_to_num scrub (sim/interface.py:65-74) maps
+    # inf cotangents to finite-max and clip_grad_norm_ (finetune.py:
+    # 417-423, error_if_nonfinite unset) turns an inf total norm into a
+    # clip_coef of ~0 — i.e. the epoch's update is effectively zeroed
+    # and training continues. Here 'skip' zeroes BOTH nets' clipped
+    # gradients on the bad epoch (optimizer state still advances, as in
+    # torch) and raises only after ``max_nonfinite_skips`` consecutive
+    # bad epochs.
+    on_nonfinite = str(cfg.get("on_nonfinite", "raise"))
+    if on_nonfinite not in ("raise", "skip"):
+        raise ValueError(
+            f"unknown on_nonfinite policy: {on_nonfinite!r} "
+            "(expected 'raise' or 'skip')"
+        )
+    max_skips = int(cfg.get("max_nonfinite_skips", 30))
 
     gt_images = jnp.asarray(scene.gt_images)
 
@@ -688,6 +707,11 @@ def finetune_constitutive(
         )(params_e, params_p)
         ge, e_norm, e_bad = clip_by_global_norm_strict(ge, e_max_norm)
         gp, p_norm, p_bad = clip_by_global_norm_strict(gp, p_max_norm)
+        if on_nonfinite == "skip":
+            bad = e_bad | p_bad
+            zero = lambda g: jnp.where(bad, jnp.zeros_like(g), g)
+            ge = jax.tree_util.tree_map(zero, ge)
+            gp = jax.tree_util.tree_map(zero, gp)
         e_updates, e_state = e_opt.update(ge, e_state, params_e)
         params_e = optax.apply_updates(params_e, e_updates)
         p_updates, p_state = p_opt.update(gp, p_state, params_p)
@@ -705,6 +729,7 @@ def finetune_constitutive(
         )
 
     losses, e_norms, p_norms = [], [], []
+    consecutive_bad = 0
     for epoch in range(start_epoch, num_epochs + 1):
         decay_rate = decay_rate_for_epoch(cfg, epoch, num_epochs)
         (
@@ -722,11 +747,28 @@ def finetune_constitutive(
             jnp.float32(decay_rate), gt_images,
         )
         if bool(bad):
-            raise NonFiniteGradientError(
-                f"non-finite gradient at epoch {epoch}: "
-                f"loss={float(loss):.7f} e_norm={float(e_norm)} "
-                f"p_norm={float(p_norm)}"
+            consecutive_bad += 1
+            if on_nonfinite == "raise" or consecutive_bad > max_skips:
+                raise NonFiniteGradientError(
+                    f"non-finite gradient at epoch {epoch}: "
+                    f"loss={float(loss):.7f} e_norm={float(e_norm)} "
+                    f"p_norm={float(p_norm)}"
+                    + (
+                        f" ({consecutive_bad} consecutive skipped "
+                        f"epochs exceeded max_nonfinite_skips="
+                        f"{max_skips})"
+                        if on_nonfinite == "skip"
+                        else ""
+                    )
+                )
+            print(
+                f"[grounding] non-finite gradient at epoch {epoch} "
+                f"(e_norm={float(e_norm)}, p_norm={float(p_norm)}) — "
+                f"update skipped ({consecutive_bad}/{max_skips})",
+                file=sys.stderr,
             )
+        else:
+            consecutive_bad = 0
         _raise_on_overflow(aux, f"constitutive epoch {epoch}")
         losses.append(float(loss))
         e_norms.append(float(e_norm))
